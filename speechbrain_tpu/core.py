@@ -1,0 +1,759 @@
+"""The Brain training engine, TPU-native.
+
+Capability parity with the reference's ``speechbrain/core.py`` (Brain :157,
+fit :1130, fit_batch :814, evaluate :1337, Stage :148,
+create_experiment_directory :62), re-architected for JAX:
+
+* Params / optimizer state / mutable model state (batch-norm stats) live in
+  a single ``TrainState`` pytree; the train step is ONE jit-compiled,
+  buffer-donating function — forward, loss, grad, clip, update fused by XLA.
+* Data parallelism is a ``jax.sharding.Mesh``: the batch is sharded over the
+  "data" axis, params are replicated, and XLA inserts the gradient
+  all-reduce over ICI — there is no DDP wrapper and no explicit collective
+  in user code (reference ``core.py:1309`` _wrap_distributed becomes a
+  sharding annotation).
+* Gradient accumulation happens inside the step function via
+  ``optax.MultiSteps``-style local accumulation (reference ``no_sync`` at
+  core.py:1428 is unnecessary: nothing syncs until the jit output is used).
+* bf16 autocast is a cast policy applied in the forward, not a context
+  manager (MXU-native bfloat16).
+
+Users subclass Brain and override the pure functions
+``compute_forward(params, model_state, batch, stage, rng)`` and
+``compute_objectives(predictions, batch, stage)``. Both are traced by XLA;
+keep control flow static. Everything else (epoch loop, checkpoint cadence,
+LR scheduling, logging, progressbars) mirrors the reference's contract.
+"""
+
+import inspect
+import logging
+import os
+import shutil
+import sys
+import time
+from dataclasses import dataclass, field
+from enum import Enum, auto
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.dataio.dataloader import LoopedLoader, SaveableDataLoader, make_dataloader
+from speechbrain_tpu.dataio.sampler import DistributedSamplerWrapper
+from speechbrain_tpu.utils.checkpoints import (
+    PytreeRef,
+    mark_as_loader,
+    mark_as_saver,
+    register_checkpoint_hooks,
+)
+from speechbrain_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+DEFAULT_LOG_CONFIG = None
+INTRA_EPOCH_CKPT_FLAG = "brain_intra_epoch_ckpt"
+
+
+class Stage(Enum):
+    """Current phase of an experiment: TRAIN, VALID or TEST."""
+
+    TRAIN = auto()
+    VALID = auto()
+    TEST = auto()
+
+
+@dataclass
+class RunOptions:
+    """Runtime controls, mirroring the reference's RunOptions
+    (utils/run_opts.py:58) with TPU-appropriate fields."""
+
+    debug: bool = False
+    debug_batches: int = 2
+    debug_epochs: int = 2
+    device: str = "auto"  # "auto" | "tpu" | "cpu"
+    precision: str = "fp32"  # "fp32" | "bf16"
+    data_parallel_count: int = -1  # -1: all local devices
+    max_grad_norm: float = 5.0
+    grad_accumulation_factor: int = 1
+    nonfinite_patience: int = 3
+    ckpt_interval_minutes: float = 0.0
+    ckpt_interval_steps: int = 0
+    noprogressbar: bool = False
+    train_log_interval: int = 100
+    jit: bool = True  # disable to debug python-side
+    donate_state: bool = True
+    profile_training: bool = False
+    profile_warmup: int = 5
+    profile_steps: int = 10
+    seed: int = 563375142
+
+    @classmethod
+    def from_dict(cls, d):
+        valid = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in d.items() if k in valid})
+
+
+def parse_arguments(arg_list=None):
+    """Parse ``train.py hparams.yaml --override=value`` command lines.
+
+    Returns (hparams_file, run_opts_dict, overrides_dict) — the same triple
+    shape as the reference's parse_arguments (utils/run_opts.py:245).
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Run an experiment")
+    parser.add_argument("param_file", type=str, help="hparams yaml file")
+    known, unknown = parser.parse_known_args(arg_list)
+    run_opt_fields = set(RunOptions.__dataclass_fields__)
+    run_opts, overrides = {}, {}
+    i = 0
+    while i < len(unknown):
+        arg = unknown[i]
+        if not arg.startswith("--"):
+            raise ValueError(f"Cannot parse argument {arg}")
+        if "=" in arg:
+            key, value = arg[2:].split("=", 1)
+            i += 1
+        else:
+            key = arg[2:]
+            if i + 1 < len(unknown) and not unknown[i + 1].startswith("--"):
+                value = unknown[i + 1]
+                i += 2
+            else:
+                value = "True"
+                i += 1
+        parsed = _parse_scalar(value)
+        if key in run_opt_fields:
+            run_opts[key] = parsed
+        else:
+            overrides[key] = parsed
+    return known.param_file, run_opts, overrides
+
+
+def _parse_scalar(value):
+    import yaml as _yaml
+
+    try:
+        return _yaml.safe_load(value)
+    except Exception:
+        return value
+
+
+def create_experiment_directory(
+    experiment_directory,
+    hyperparams_to_save=None,
+    overrides={},
+    log_config=DEFAULT_LOG_CONFIG,
+    save_env_desc=True,
+):
+    """Create the output dir, freeze the resolved yaml, start file logging.
+
+    Mirrors reference core.py:62: rank-0 creates and writes; others wait.
+    """
+    from speechbrain_tpu.utils.logger import get_environment_description, setup_logging
+
+    if jax.process_index() == 0:
+        os.makedirs(experiment_directory, exist_ok=True)
+        if hyperparams_to_save is not None:
+            from speechbrain_tpu.utils.hyperyaml import resolve_yaml
+
+            hparams_filename = os.path.join(experiment_directory, "hyperparams.yaml")
+            with open(hyperparams_to_save, encoding="utf-8") as f:
+                resolved = resolve_yaml(f.read(), overrides)
+            with open(hparams_filename, "w", encoding="utf-8") as w:
+                w.write(resolved)
+        # copy the calling script for reproducibility
+        module = inspect.getmodule(inspect.currentframe().f_back)
+        if module is not None and hasattr(module, "__file__"):
+            callingfile = os.path.realpath(module.__file__)
+            if os.path.isfile(callingfile):
+                shutil.copy(
+                    callingfile,
+                    os.path.join(
+                        experiment_directory, os.path.basename(callingfile)
+                    ),
+                )
+        setup_logging()
+        log_file = os.path.join(experiment_directory, "log.txt")
+        handler = logging.FileHandler(log_file, encoding="utf-8")
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+        )
+        logging.getLogger().addHandler(handler)
+        sys.excepthook = _logging_excepthook
+        if save_env_desc:
+            with open(
+                os.path.join(experiment_directory, "env.log"), "w", encoding="utf-8"
+            ) as f:
+                f.write(get_environment_description())
+    _barrier()
+
+
+def _logging_excepthook(exc_type, exc_value, exc_traceback):
+    logging.getLogger("exception").error(
+        "Exception", exc_info=(exc_type, exc_value, exc_traceback)
+    )
+    sys.__excepthook__(exc_type, exc_value, exc_traceback)
+
+
+def _barrier():
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("sb_barrier")
+
+
+@register_checkpoint_hooks
+class Brain:
+    """Generic training engine: override compute_forward/compute_objectives.
+
+    Arguments
+    ---------
+    modules : dict[str, flax.linen.Module]
+        The model parts. Exposed as ``self.modules.<name>``.
+    opt_class : callable, optional
+        ``lr -> optax transform`` or a zero-arg factory returning one; by
+        convention recipes pass e.g. ``lambda: optax.adam(1e-3)``.
+    hparams : dict, optional
+        Exposed as ``self.hparams.<key>``.
+    run_opts : dict | RunOptions, optional
+    checkpointer : Checkpointer, optional
+        Registered recoverables are extended with params/opt state/counters.
+
+    Subclass contract (all pure, traced by jit):
+
+    * ``compute_forward(self, params, model_state, batch, stage, rng)``
+      → (predictions, new_model_state)
+    * ``compute_objectives(self, predictions, batch, stage)``
+      → scalar loss  (or (loss, metrics-dict) — extra values are averaged
+      and logged)
+
+    Host-side hooks (not traced): ``on_fit_start``, ``on_stage_start``,
+    ``on_stage_end``, ``on_evaluate_start``; metric accumulation happens in
+    ``on_stage_end`` / via ``evaluate_batch_end`` callbacks on host.
+    """
+
+    def __init__(
+        self,
+        modules=None,
+        opt_class=None,
+        hparams=None,
+        run_opts=None,
+        checkpointer=None,
+    ):
+        if isinstance(run_opts, RunOptions):
+            self.run_opts = run_opts
+        else:
+            self.run_opts = RunOptions.from_dict(run_opts or {})
+        if hparams is not None and isinstance(hparams, dict):
+            for opt in RunOptions.__dataclass_fields__:
+                if opt in hparams and run_opts is not None and opt not in (run_opts or {}):
+                    setattr(self.run_opts, opt, hparams[opt])
+        self.opt_class = opt_class
+        self.checkpointer = checkpointer
+        self.modules = SimpleNamespace(**(modules or {}))
+        self.hparams = SimpleNamespace(**(hparams or {})) if hparams else SimpleNamespace()
+
+        # functional state
+        self.params = None  # {module_name: params pytree} or user-defined
+        self.model_state = {}  # mutable collections (batch_stats etc.)
+        self.opt_state = None
+        self.optimizer = None
+        self.step = 0  # step within current epoch
+        self.optimizer_step = 0  # global optimizer updates
+        self.avg_train_loss = 0.0
+        self._compiled_train_step = None
+        self._compiled_eval_step = None
+        self.rng = jax.random.PRNGKey(self.run_opts.seed)
+
+        # device / mesh setup
+        self._setup_mesh()
+
+        # nonfinite-loss tracking (reference core.py:855)
+        self.nonfinite_count = 0
+
+        # intra-epoch checkpointing cadence
+        self.last_ckpt_time = time.time()
+
+        if self.checkpointer is not None:
+            self.checkpointer.add_recoverable("brain", self)
+            self._params_ref = PytreeRef()
+            self._opt_state_ref = PytreeRef()
+            self._model_state_ref = PytreeRef()
+            self.checkpointer.add_recoverable("params", self._params_ref)
+            self.checkpointer.add_recoverable("opt_state", self._opt_state_ref)
+            self.checkpointer.add_recoverable("model_state", self._model_state_ref)
+
+        if self.run_opts.profile_training:
+            logger.info("Profiler active: traces under 'profiler_logs/'")
+
+    # ------------------------------------------------------------------
+    # Mesh / sharding
+    # ------------------------------------------------------------------
+    def _setup_mesh(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()
+        if self.run_opts.device == "cpu":
+            devices = jax.devices("cpu")
+        count = self.run_opts.data_parallel_count
+        if count is None or count <= 0:
+            count = len(devices)
+        devices = devices[:count]
+        self.mesh = Mesh(np.array(devices), axis_names=("data",))
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated_sharding = NamedSharding(self.mesh, P())
+        logger.info(
+            "Mesh: %d device(s) on axis 'data' (%s)",
+            len(devices),
+            devices[0].platform,
+        )
+
+    @property
+    def n_devices(self):
+        return self.mesh.devices.size
+
+    # ------------------------------------------------------------------
+    # User override points
+    # ------------------------------------------------------------------
+    def compute_forward(self, params, model_state, batch, stage, rng):
+        """Pure forward: return (predictions, new_model_state)."""
+        raise NotImplementedError
+
+    def compute_objectives(self, predictions, batch, stage):
+        """Pure loss: return scalar loss or (loss, metrics dict)."""
+        raise NotImplementedError
+
+    def on_stage_start(self, stage, epoch=None):
+        pass
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        pass
+
+    def on_fit_start(self):
+        """Initialize params/optimizer; recover checkpoint if available."""
+        if self.params is None:
+            self.init_params()
+        self.init_optimizers()
+        if self.checkpointer is not None:
+            self._sync_refs_out()
+            self.checkpointer.recover_if_possible()
+            self._sync_refs_in()
+
+    def on_fit_batch_start(self, batch):
+        pass
+
+    def on_fit_batch_end(self, batch, outputs, loss, should_step):
+        pass
+
+    def on_evaluate_start(self, max_key=None, min_key=None):
+        if self.checkpointer is not None:
+            self._sync_refs_out()
+            self.checkpointer.recover_if_possible(max_key=max_key, min_key=min_key)
+            self._sync_refs_in()
+
+    # ------------------------------------------------------------------
+    # Parameter init
+    # ------------------------------------------------------------------
+    def init_params(self, example_batch=None):
+        """Initialize every module's params by tracing an example batch.
+
+        If the subclass defines ``init_forward(rngs, example_batch)`` that is
+        used; otherwise modules must be initialized by the subclass before
+        fit (or params set directly)."""
+        if example_batch is None:
+            example_batch = getattr(self, "_example_batch", None)
+        if hasattr(self, "init_forward"):
+            self.rng, init_rng = jax.random.split(self.rng)
+            variables = self.init_forward(init_rng, example_batch)
+            self.params = variables.pop("params") if "params" in variables else variables
+            self.model_state = dict(variables)
+        if self.params is None:
+            raise RuntimeError(
+                "No params: define init_forward(rng, example_batch) or set "
+                "self.params before fit()."
+            )
+        count = sum(
+            int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(self.params)
+        )
+        from speechbrain_tpu.utils.logger import format_order_of_magnitude
+
+        num, mag = format_order_of_magnitude(count)
+        logger.info("%s%s trainable parameters", num, mag)
+
+    def init_optimizers(self):
+        import optax
+
+        if self.opt_class is None:
+            return
+        tx = self.opt_class
+        if callable(tx) and not isinstance(tx, optax.GradientTransformation):
+            tx = tx()
+        if self.run_opts.grad_accumulation_factor > 1:
+            tx = optax.MultiSteps(
+                tx, every_k_schedule=self.run_opts.grad_accumulation_factor
+            )
+        self.optimizer = tx
+        if self.opt_state is None:
+            self.opt_state = self.optimizer.init(self.params)
+
+    # ------------------------------------------------------------------
+    # Checkpoint state sync (pytrees are held by reference wrappers)
+    # ------------------------------------------------------------------
+    def _sync_refs_out(self):
+        self._params_ref.tree = self.params
+        self._opt_state_ref.tree = self.opt_state
+        self._model_state_ref.tree = self.model_state
+
+    def _sync_refs_in(self):
+        self.params = self._params_ref.tree
+        self.opt_state = self._opt_state_ref.tree
+        self.model_state = self._model_state_ref.tree
+
+    @mark_as_saver
+    def _save(self, path):
+        import json
+
+        save_dict = {
+            "step": self.step,
+            "optimizer_step": self.optimizer_step,
+            "avg_train_loss": self.avg_train_loss,
+        }
+        with open(path, "w") as w:
+            json.dump(save_dict, w)
+
+    @mark_as_loader
+    def _recover(self, path, end_of_epoch):
+        import json
+
+        with open(path) as f:
+            save_dict = json.load(f)
+        self.step = save_dict["step"]
+        self.optimizer_step = save_dict["optimizer_step"]
+        self.avg_train_loss = save_dict["avg_train_loss"]
+        if end_of_epoch:
+            self.step = 0
+
+    # ------------------------------------------------------------------
+    # The jitted step functions
+    # ------------------------------------------------------------------
+    def _loss_and_aux(self, params, model_state, batch, stage, rng):
+        predictions, new_model_state = self.compute_forward(
+            params, model_state, batch, stage, rng
+        )
+        objectives = self.compute_objectives(predictions, batch, stage)
+        if isinstance(objectives, tuple):
+            loss, metrics = objectives
+        else:
+            loss, metrics = objectives, {}
+        return loss, (metrics, new_model_state)
+
+    def _make_train_step(self):
+        def train_step(params, model_state, opt_state, batch, rng):
+            grad_fn = jax.value_and_grad(self._loss_and_aux, has_aux=True)
+            (loss, (metrics, new_model_state)), grads = grad_fn(
+                params, model_state, batch, Stage.TRAIN, rng
+            )
+            # nonfinite protection: skip the update if loss/grads blew up
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+            if self.run_opts.max_grad_norm and self.run_opts.max_grad_norm > 0:
+                gnorm = optax_global_norm(grads)
+                scale = jnp.minimum(1.0, self.run_opts.max_grad_norm / (gnorm + 1e-6))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
+            new_params = apply_updates(params, updates)
+            # if nonfinite: keep old params/opt state
+            new_params = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_params, params
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o) if _same_shape(n, o) else n,
+                new_opt_state,
+                opt_state,
+            )
+            return new_params, new_model_state, new_opt_state, loss, metrics, finite
+
+        if self.run_opts.jit:
+            donate = (0, 2) if self.run_opts.donate_state else ()
+            train_step = jax.jit(train_step, donate_argnums=donate)
+        return train_step
+
+    def _make_eval_step(self, stage):
+        def eval_step(params, model_state, batch, rng):
+            loss, (metrics, _) = self._loss_and_aux(
+                params, model_state, batch, stage, rng
+            )
+            return loss, metrics
+
+        if self.run_opts.jit:
+            eval_step = jax.jit(eval_step)
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # Batch-level API
+    # ------------------------------------------------------------------
+    def _prepare_batch(self, batch):
+        """Move a PaddedBatch (or dict pytree) to device, sharded on data."""
+        if hasattr(batch, "to_device"):
+            return batch.to_device()
+        return batch
+
+    def fit_batch(self, batch):
+        """One training step; returns the detached loss (host float)."""
+        if self._compiled_train_step is None:
+            self._compiled_train_step = self._make_train_step()
+        self.rng, step_rng = jax.random.split(self.rng)
+        batch = self._prepare_batch(batch)
+        (
+            self.params,
+            self.model_state,
+            self.opt_state,
+            loss,
+            metrics,
+            finite,
+        ) = self._compiled_train_step(
+            self.params, self.model_state, self.opt_state, batch, step_rng
+        )
+        self.optimizer_step += 1
+        loss = float(loss)
+        if not np.isfinite(loss):
+            self.nonfinite_count += 1
+            logger.warning(
+                "Loss is %s. Update skipped (patience %d/%d).",
+                loss,
+                self.nonfinite_count,
+                self.run_opts.nonfinite_patience,
+            )
+            if self.nonfinite_count > self.run_opts.nonfinite_patience:
+                raise ValueError("Loss is not finite and patience is exhausted.")
+            return self.avg_train_loss
+        return loss
+
+    def evaluate_batch(self, batch, stage):
+        """One forward-only step; returns the loss (host float)."""
+        if self._compiled_eval_step is None:
+            self._compiled_eval_step = self._make_eval_step(stage)
+        self.rng, step_rng = jax.random.split(self.rng)
+        batch = self._prepare_batch(batch)
+        loss, metrics = self._compiled_eval_step(
+            self.params, self.model_state, batch, step_rng
+        )
+        return float(loss)
+
+    # ------------------------------------------------------------------
+    # fit / evaluate loops
+    # ------------------------------------------------------------------
+    def make_dataloader(self, dataset, stage, ckpt_prefix="dataloader-", **loader_kwargs):
+        """Build a loader; on TRAIN also registers it for mid-epoch resume
+        and shards the sampler across hosts (multi-host DP)."""
+        if isinstance(dataset, (SaveableDataLoader, LoopedLoader)):
+            return dataset
+        if stage == Stage.TRAIN and jax.process_count() > 1:
+            sampler = loader_kwargs.get("sampler")
+            if sampler is None and loader_kwargs.get("batch_sampler") is None:
+                from speechbrain_tpu.dataio.sampler import (
+                    ReproducibleRandomSampler,
+                    SequentialSampler,
+                )
+
+                base = (
+                    ReproducibleRandomSampler(dataset)
+                    if loader_kwargs.pop("shuffle", False)
+                    else SequentialSampler(dataset)
+                )
+                loader_kwargs["sampler"] = DistributedSamplerWrapper(base)
+        dataloader = make_dataloader(dataset, **loader_kwargs)
+        if (
+            self.checkpointer is not None
+            and ckpt_prefix is not None
+            and stage == Stage.TRAIN
+        ):
+            self.checkpointer.add_recoverable(ckpt_prefix + stage.name, dataloader)
+        return dataloader
+
+    def fit(
+        self,
+        epoch_counter,
+        train_set,
+        valid_set=None,
+        progressbar=None,
+        train_loader_kwargs={},
+        valid_loader_kwargs={},
+    ):
+        """The main training loop (reference core.py:1130)."""
+        if not isinstance(train_set, (SaveableDataLoader, LoopedLoader)):
+            train_set = self.make_dataloader(
+                train_set, stage=Stage.TRAIN, **train_loader_kwargs
+            )
+        if valid_set is not None and not isinstance(
+            valid_set, (SaveableDataLoader, LoopedLoader)
+        ):
+            valid_set = self.make_dataloader(
+                valid_set, stage=Stage.VALID, ckpt_prefix=None, **valid_loader_kwargs
+            )
+        if self.params is None and not hasattr(self, "init_forward"):
+            # lazy init from the first batch
+            first = next(iter(train_set))
+            self._example_batch = self._prepare_batch(first)
+        self.on_fit_start()
+
+        progressbar = (
+            not self.run_opts.noprogressbar if progressbar is None else progressbar
+        )
+
+        for epoch in epoch_counter:
+            self._fit_train(train_set, epoch, progressbar)
+            self._fit_valid(valid_set, epoch, progressbar)
+            if (
+                self.run_opts.debug
+                and epoch == self.run_opts.debug_epochs
+            ):
+                break
+
+    def _fit_train(self, train_set, epoch, enable):
+        self.on_stage_start(Stage.TRAIN, epoch)
+        if hasattr(train_set, "set_epoch"):
+            train_set.set_epoch(epoch)
+        self.avg_train_loss = 0.0
+        self.nonfinite_count = 0
+        last_log_time = time.time()
+        t = _progress(train_set, enable, f"Epoch {epoch} TRAIN")
+        for self.step, batch in enumerate(t, start=1):
+            self.on_fit_batch_start(batch)
+            loss = self.fit_batch(batch)
+            self.avg_train_loss = self.update_average(loss, self.avg_train_loss)
+            if hasattr(t, "set_postfix"):
+                t.set_postfix(train_loss=self.avg_train_loss)
+            if self.run_opts.debug and self.step == self.run_opts.debug_batches:
+                break
+            if self._should_save_intra_epoch_ckpt():
+                self._save_intra_epoch_ckpt()
+            del batch
+        self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
+        self.avg_train_loss = 0.0
+        self.step = 0
+
+    def _fit_valid(self, valid_set, epoch, enable):
+        if valid_set is None:
+            return
+        self.on_stage_start(Stage.VALID, epoch)
+        avg_valid_loss = 0.0
+        self._compiled_eval_step = None  # stage may change loss path
+        t = _progress(valid_set, enable, f"Epoch {epoch} VALID")
+        for self.step, batch in enumerate(t, start=1):
+            loss = self.evaluate_batch(batch, stage=Stage.VALID)
+            avg_valid_loss = self.update_average(loss, avg_valid_loss)
+            if self.run_opts.debug and self.step == self.run_opts.debug_batches:
+                break
+        self.on_stage_end(Stage.VALID, avg_valid_loss, epoch)
+        self.step = 0
+
+    def evaluate(
+        self,
+        test_set,
+        max_key=None,
+        min_key=None,
+        progressbar=None,
+        test_loader_kwargs={},
+    ):
+        """Evaluation loop over a test set (reference core.py:1337)."""
+        progressbar = (
+            not self.run_opts.noprogressbar if progressbar is None else progressbar
+        )
+        if not isinstance(test_set, (SaveableDataLoader, LoopedLoader)):
+            test_loader_kwargs["ckpt_prefix"] = None
+            test_set = self.make_dataloader(
+                test_set, Stage.TEST, **test_loader_kwargs
+            )
+        self.on_evaluate_start(max_key=max_key, min_key=min_key)
+        self.on_stage_start(Stage.TEST, epoch=None)
+        avg_test_loss = 0.0
+        self._compiled_eval_step = None
+        t = _progress(test_set, progressbar, "TEST")
+        for self.step, batch in enumerate(t, start=1):
+            loss = self.evaluate_batch(batch, stage=Stage.TEST)
+            avg_test_loss = self.update_average(loss, avg_test_loss)
+            if self.run_opts.debug and self.step == self.run_opts.debug_batches:
+                break
+        self.on_stage_end(Stage.TEST, avg_test_loss, None)
+        self.step = 0
+        return avg_test_loss
+
+    # ------------------------------------------------------------------
+    # Intra-epoch checkpointing (reference core.py:1075)
+    # ------------------------------------------------------------------
+    def _should_save_intra_epoch_ckpt(self):
+        if self.checkpointer is None:
+            return False
+        decision = False
+        if self.run_opts.ckpt_interval_minutes > 0:
+            elapsed = (time.time() - self.last_ckpt_time) / 60.0
+            decision = elapsed >= self.run_opts.ckpt_interval_minutes
+        if not decision and self.run_opts.ckpt_interval_steps > 0:
+            decision = self.optimizer_step % self.run_opts.ckpt_interval_steps == 0
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            decision = bool(
+                multihost_utils.broadcast_one_to_all(np.array(decision))
+            )
+        return decision
+
+    def _save_intra_epoch_ckpt(self):
+        self._sync_refs_out()
+        self.checkpointer.save_and_keep_only(
+            end_of_epoch=False,
+            num_to_keep=1,
+            ckpt_predicate=lambda c: INTRA_EPOCH_CKPT_FLAG in c.meta,
+            meta={INTRA_EPOCH_CKPT_FLAG: True},
+            verbosity=False,
+        )
+        self.last_ckpt_time = time.time()
+
+    def save_checkpoint(self, meta={}, end_of_epoch=True, **kwargs):
+        """Convenience: sync pytree refs then save via the checkpointer."""
+        self._sync_refs_out()
+        return self.checkpointer.save_and_keep_only(
+            meta=meta, end_of_epoch=end_of_epoch, **kwargs
+        )
+
+    def update_average(self, loss, avg_loss):
+        """Running average over the current stage (reference semantics)."""
+        if np.isfinite(loss):
+            avg_loss -= avg_loss / self.step
+            avg_loss += loss / self.step
+        return avg_loss
+
+
+def _progress(iterable, enable, desc):
+    if enable:
+        try:
+            from tqdm import tqdm
+
+            return tqdm(iterable, desc=desc, dynamic_ncols=True)
+        except ImportError:
+            pass
+    return iterable
+
+
+def _same_shape(a, b):
+    try:
+        return getattr(a, "shape", None) == getattr(b, "shape", None)
+    except Exception:
+        return False
+
+
+def optax_global_norm(tree):
+    """Global L2 norm of a pytree (optax.global_norm equivalent)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def apply_updates(params, updates):
+    import optax
+
+    return optax.apply_updates(params, updates)

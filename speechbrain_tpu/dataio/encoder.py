@@ -1,0 +1,408 @@
+"""Label <-> index encoders.
+
+Capability parity with the reference's ``speechbrain/dataio/encoder.py``
+(CategoricalEncoder :33, TextEncoder :822, CTCTextEncoder :1057): build a
+categorical mapping from data or iterables, optionally with unk/bos/eos/
+blank special labels, save/load as a text file, and encode/decode
+sequences host-side (arrays go to device at the batch boundary).
+"""
+
+import ast
+import collections
+import itertools
+
+import numpy as np
+
+from speechbrain_tpu.utils.checkpoints import (
+    mark_as_loader,
+    mark_as_saver,
+    register_checkpoint_hooks,
+)
+from speechbrain_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+DEFAULT_UNK = "<unk>"
+DEFAULT_BOS = "<bos>"
+DEFAULT_EOS = "<eos>"
+DEFAULT_BLANK = "<blank>"
+
+
+@register_checkpoint_hooks
+class CategoricalEncoder:
+    """Encode a set of hashable labels to integers 0..N-1.
+
+    Example
+    -------
+    >>> enc = CategoricalEncoder()
+    >>> enc.update_from_iterable(["spk0", "spk1", "spk0"])
+    >>> enc.encode_label("spk1") in (0, 1)
+    True
+    >>> enc.decode_ndim(enc.encode_sequence(["spk0", "spk1"]))
+    ['spk0', 'spk1']
+    """
+
+    VALUE_SEPARATOR = " => "
+    EXTRAS_SEPARATOR = "================\n"
+
+    def __init__(self, starting_index=0, **special_labels):
+        self.lab2ind = {}
+        self.ind2lab = {}
+        self.starting_index = starting_index
+        self.handle_special_labels(special_labels)
+
+    def handle_special_labels(self, special_labels):
+        if "unk_label" in special_labels:
+            self.add_unk(special_labels["unk_label"])
+
+    def __len__(self):
+        return len(self.lab2ind)
+
+    def is_continuous(self):
+        """True if indices form a contiguous range from starting_index."""
+        indices = sorted(self.ind2lab)
+        return (
+            not indices
+            or indices[0] == self.starting_index
+            and indices == list(range(indices[0], indices[0] + len(indices)))
+        )
+
+    def _next_index(self):
+        index = self.starting_index
+        while index in self.ind2lab:
+            index += 1
+        return index
+
+    # -- building ------------------------------------------------------------
+    def add_label(self, label):
+        if label in self.lab2ind:
+            raise KeyError(f"Label already present: {label}")
+        index = self._next_index()
+        self.lab2ind[label] = index
+        self.ind2lab[index] = label
+        return index
+
+    def ensure_label(self, label):
+        if label in self.lab2ind:
+            return self.lab2ind[label]
+        return self.add_label(label)
+
+    def insert_label(self, label, index):
+        if label in self.lab2ind:
+            raise KeyError(f"Label already present: {label}")
+        self.enforce_label(label, index)
+
+    def enforce_label(self, label, index):
+        """Place label at index, moving any occupant to a fresh index."""
+        index = int(index)
+        if label in self.lab2ind:
+            if index == self.lab2ind[label]:
+                return
+            del self.ind2lab[self.lab2ind[label]]
+        if index in self.ind2lab:
+            evicted = self.ind2lab[index]
+            del self.lab2ind[evicted]
+            self.lab2ind[label] = index
+            self.ind2lab[index] = label
+            new_index = self._next_index()
+            self.lab2ind[evicted] = new_index
+            self.ind2lab[new_index] = evicted
+        else:
+            self.lab2ind[label] = index
+            self.ind2lab[index] = label
+
+    def add_unk(self, unk_label=DEFAULT_UNK):
+        self.unk_label = unk_label
+        return self.ensure_label(unk_label)
+
+    def update_from_iterable(self, iterable, sequence_input=False):
+        """Collect labels from an iterable (or iterable of sequences)."""
+        label_iterator = (
+            itertools.chain.from_iterable(iterable) if sequence_input else iterable
+        )
+        for label in label_iterator:
+            self.ensure_label(label)
+
+    def update_from_didataset(self, didataset, output_key, sequence_input=False):
+        """Collect labels from one key of a DynamicItemDataset."""
+        with didataset.output_keys_as([output_key]):
+            self.update_from_iterable(
+                (item[output_key] for item in didataset),
+                sequence_input=sequence_input,
+            )
+
+    def limited_labelset_from_iterable(
+        self, iterable, sequence_input=False, n_most_common=None, min_count=1
+    ):
+        """Build from label counts with frequency filters; returns Counter."""
+        label_iterator = (
+            itertools.chain.from_iterable(iterable) if sequence_input else iterable
+        )
+        counts = collections.Counter(label_iterator)
+        for label, count in counts.most_common(n_most_common):
+            if count < min_count:
+                break
+            self.ensure_label(label)
+        return counts
+
+    def expect_len(self, expected_len):
+        """Assert the final vocab size (catch config drift early)."""
+        if len(self) != expected_len:
+            raise RuntimeError(
+                f"Encoder has {len(self)} labels, expected {expected_len}"
+            )
+
+    def ignore_len(self):
+        pass
+
+    # -- encoding ------------------------------------------------------------
+    def encode_label(self, label, allow_unk=True):
+        try:
+            return self.lab2ind[label]
+        except KeyError:
+            if hasattr(self, "unk_label") and allow_unk:
+                return self.lab2ind[self.unk_label]
+            raise KeyError(
+                f"Unknown label {label}, and no unk_label set "
+                "(call add_unk() to allow unknowns)."
+            )
+
+    def encode_label_array(self, x, allow_unk=True):
+        return np.asarray(
+            [self.encode_label(label, allow_unk) for label in x], dtype=np.int32
+        )
+
+    def encode_sequence(self, x, allow_unk=True):
+        return [self.encode_label(label, allow_unk) for label in x]
+
+    def encode_sequence_array(self, x, allow_unk=True):
+        return np.asarray(self.encode_sequence(x, allow_unk), dtype=np.int32)
+
+    # -- decoding ------------------------------------------------------------
+    def decode_ind(self, index):
+        return self.ind2lab[int(index)]
+
+    def decode_ndim(self, x):
+        """Decode an arbitrarily nested structure of indices."""
+        try:
+            return [self.decode_ndim(sub) for sub in x]
+        except TypeError:
+            return self.decode_ind(x)
+
+    # -- persistence -----------------------------------------------------------
+    def save(self, path):
+        self._save_literal(path, self.lab2ind, self._get_extras())
+
+    def load(self, path):
+        lab2ind, ind2lab, extras = self._load_literal(path)
+        self.lab2ind = lab2ind
+        self.ind2lab = ind2lab
+        self._set_extras(extras)
+
+    def load_if_possible(self, path, end_of_epoch=False):
+        try:
+            self.load(path)
+            return True
+        except (FileNotFoundError, ValueError, SyntaxError):
+            return False
+
+    def load_or_create(
+        self,
+        path,
+        from_iterables=(),
+        from_didatasets=(),
+        sequence_input=False,
+        output_key=None,
+        special_labels={},
+    ):
+        """Load from file if it exists; otherwise build and save."""
+        if not self.load_if_possible(path):
+            for iterable in from_iterables:
+                self.update_from_iterable(iterable, sequence_input)
+            for didataset in from_didatasets:
+                self.update_from_didataset(didataset, output_key, sequence_input)
+            self.handle_special_labels(special_labels)
+            self.save(path)
+        return True
+
+    def _get_extras(self):
+        extras = {"starting_index": self.starting_index}
+        if hasattr(self, "unk_label"):
+            extras["unk_label"] = self.unk_label
+        return extras
+
+    def _set_extras(self, extras):
+        if "unk_label" in extras:
+            self.unk_label = extras["unk_label"]
+        self.starting_index = extras["starting_index"]
+
+    @staticmethod
+    def _save_literal(path, lab2ind, extras):
+        with open(path, "w", encoding="utf-8") as f:
+            for label, ind in lab2ind.items():
+                f.write(
+                    repr(label) + CategoricalEncoder.VALUE_SEPARATOR + str(ind) + "\n"
+                )
+            f.write(CategoricalEncoder.EXTRAS_SEPARATOR)
+            for key, value in extras.items():
+                f.write(
+                    repr(key) + CategoricalEncoder.VALUE_SEPARATOR + repr(value) + "\n"
+                )
+            f.flush()
+
+    @staticmethod
+    def _load_literal(path):
+        lab2ind = {}
+        ind2lab = {}
+        extras = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if line == CategoricalEncoder.EXTRAS_SEPARATOR:
+                    break
+                literal, ind = line.strip().rsplit(
+                    CategoricalEncoder.VALUE_SEPARATOR, maxsplit=1
+                )
+                label = ast.literal_eval(literal)
+                lab2ind[label] = int(ind)
+                ind2lab[int(ind)] = label
+            for line in f:
+                literal_key, literal_value = line.strip().split(
+                    CategoricalEncoder.VALUE_SEPARATOR, maxsplit=1
+                )
+                extras[ast.literal_eval(literal_key)] = ast.literal_eval(literal_value)
+        return lab2ind, ind2lab, extras
+
+    @mark_as_saver
+    def _save_hook(self, path):
+        self.save(path)
+
+    @mark_as_loader
+    def _load_hook(self, path, end_of_epoch=False):
+        self.load(path)
+
+
+class TextEncoder(CategoricalEncoder):
+    """CategoricalEncoder with bos/eos sequence support."""
+
+    def handle_special_labels(self, special_labels):
+        super().handle_special_labels(special_labels)
+        if "bos_label" in special_labels and "eos_label" in special_labels:
+            if special_labels["bos_label"] == special_labels["eos_label"]:
+                self.insert_bos_eos(
+                    bos_label=special_labels["bos_label"],
+                    eos_label=special_labels["eos_label"],
+                )
+            else:
+                self.add_bos_eos(
+                    bos_label=special_labels["bos_label"],
+                    eos_label=special_labels["eos_label"],
+                )
+        elif "bos_label" in special_labels or "eos_label" in special_labels:
+            raise TypeError("Provide both bos_label and eos_label, or neither.")
+
+    def add_bos_eos(self, bos_label=DEFAULT_BOS, eos_label=DEFAULT_EOS):
+        if bos_label == eos_label:
+            self.ensure_label(bos_label)
+        else:
+            self.ensure_label(bos_label)
+            self.ensure_label(eos_label)
+        self.bos_label = bos_label
+        self.eos_label = eos_label
+
+    def insert_bos_eos(
+        self, bos_label=DEFAULT_BOS, eos_label=DEFAULT_EOS, bos_index=0, eos_index=None
+    ):
+        self.enforce_label(bos_label, bos_index)
+        if eos_label == bos_label:
+            pass
+        elif eos_index is None:
+            self.enforce_label(eos_label, bos_index + 1)
+        else:
+            self.enforce_label(eos_label, eos_index)
+        self.bos_label = bos_label
+        self.eos_label = eos_label
+
+    def get_bos_index(self):
+        return self.encode_label(self.bos_label, allow_unk=False)
+
+    def get_eos_index(self):
+        return self.encode_label(self.eos_label, allow_unk=False)
+
+    def prepend_bos_label(self, x):
+        return [self.bos_label] + list(x)
+
+    def prepend_bos_index(self, x):
+        return [self.get_bos_index()] + list(x)
+
+    def append_eos_label(self, x):
+        return list(x) + [self.eos_label]
+
+    def append_eos_index(self, x):
+        return list(x) + [self.get_eos_index()]
+
+    def _get_extras(self):
+        extras = super()._get_extras()
+        if hasattr(self, "bos_label"):
+            extras["bos_label"] = self.bos_label
+            extras["eos_label"] = self.eos_label
+        return extras
+
+    def _set_extras(self, extras):
+        super()._set_extras(extras)
+        if "bos_label" in extras:
+            self.bos_label = extras["bos_label"]
+            self.eos_label = extras["eos_label"]
+
+
+class CTCTextEncoder(TextEncoder):
+    """TextEncoder with a CTC blank and collapse helpers."""
+
+    def handle_special_labels(self, special_labels):
+        super().handle_special_labels(special_labels)
+        if "blank_label" in special_labels:
+            self.insert_blank(
+                special_labels["blank_label"],
+                special_labels.get("blank_index", 0),
+            )
+
+    def add_blank(self, blank_label=DEFAULT_BLANK):
+        self.ensure_label(blank_label)
+        self.blank_label = blank_label
+
+    def insert_blank(self, blank_label=DEFAULT_BLANK, index=0):
+        self.enforce_label(blank_label, index)
+        self.blank_label = blank_label
+
+    def get_blank_index(self):
+        return self.encode_label(self.blank_label, allow_unk=False)
+
+    def collapse_labels(self, x, merge_repeats=True):
+        """CTC-style: drop blanks (and optionally merge repeats)."""
+        if merge_repeats:
+            x = [lab for i, lab in enumerate(x) if i == 0 or lab != x[i - 1]]
+        return [lab for lab in x if lab != self.blank_label]
+
+    def collapse_indices_ndim(self, x, merge_repeats=True):
+        """Collapse (nested) index sequences CTC-style."""
+        try:
+            iter(x[0] if len(x) else 0)
+            is_nested = len(x) and not isinstance(x[0], (int, np.integer))
+        except TypeError:
+            is_nested = False
+        if is_nested:
+            return [self.collapse_indices_ndim(sub, merge_repeats) for sub in x]
+        blank = self.get_blank_index()
+        if merge_repeats:
+            x = [ind for i, ind in enumerate(x) if i == 0 or ind != x[i - 1]]
+        return [int(ind) for ind in x if ind != blank]
+
+    def _get_extras(self):
+        extras = super()._get_extras()
+        if hasattr(self, "blank_label"):
+            extras["blank_label"] = self.blank_label
+        return extras
+
+    def _set_extras(self, extras):
+        super()._set_extras(extras)
+        if "blank_label" in extras:
+            self.blank_label = extras["blank_label"]

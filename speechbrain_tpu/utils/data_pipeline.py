@@ -1,0 +1,305 @@
+"""Declarative data-transform pipelines built on a dependency graph.
+
+Capability parity with the reference's ``speechbrain/utils/data_pipeline.py``
+(DataPipeline at :443, DynamicItem at :47, takes/provides at :328/:379):
+functions declare what keys they *take* and *provide*; the pipeline
+topologically orders them and computes only the requested output keys.
+
+This runs host-side (numpy / plain Python) — device work starts at the
+batch boundary, so pipelines stay out of the jit trace by design.
+
+Example
+-------
+>>> pipeline = DataPipeline(
+...     static_data_keys=["text"],
+...     dynamic_items=[
+...         {"func": lambda t: t.lower(), "takes": ["text"], "provides": "lower"},
+...     ],
+...     output_keys=["lower"],
+... )
+>>> pipeline({"text": "Hello THERE"})
+{'lower': 'hello there'}
+"""
+
+import inspect
+
+from speechbrain_tpu.utils.depgraph import DependencyGraph
+
+
+class DynamicItem:
+    """A data-transform node: callable with declared inputs and outputs.
+
+    Arguments
+    ---------
+    takes : list
+        Keys of the inputs, in positional order.
+    func : callable
+        The transform.
+    provides : list
+        Keys of the outputs.
+    """
+
+    def __init__(self, takes=(), func=None, provides=()):
+        self.takes = list(takes)
+        self.func = func
+        self.provides = list(provides)
+
+    def __call__(self, *args):
+        return self.func(*args)
+
+    # Generators override these to support multi-stage evaluation:
+    def next_takes(self):
+        return self.takes
+
+    def next_provides(self):
+        return self.provides
+
+    def provided_in_order(self):
+        """List of keys-lists, one per evaluation stage."""
+        return [self.provides]
+
+    def reset(self):
+        pass
+
+
+class GeneratorDynamicItem(DynamicItem):
+    """A generator-based transform that yields multiple keys in stages.
+
+    Each ``yield`` provides the next group of keys declared in
+    ``provides``; inputs are consumed by the first call only.
+
+    Example
+    -------
+    >>> @takes("text")
+    ... @provides("words", "chars")
+    ... def split(text):
+    ...     words = text.split()
+    ...     yield words
+    ...     yield [c for w in words for c in w]
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.current_generator = None
+        self.num_provided_items = 0
+
+    def __call__(self, *args):
+        if self.current_generator is None:
+            self.current_generator = self.func(*args)
+        out = next(self.current_generator)
+        self.num_provided_items += 1
+        if self.num_provided_items == len(self.provides):
+            self.current_generator.close()
+            self.current_generator = None
+            self.num_provided_items = 0
+        return out
+
+    def next_takes(self):
+        return self.takes if self.current_generator is None and self.num_provided_items == 0 else []
+
+    def next_provides(self):
+        return [self.provides[self.num_provided_items]]
+
+    def provided_in_order(self):
+        return [[key] for key in self.provides]
+
+    def reset(self):
+        if self.current_generator is not None:
+            self.current_generator.close()
+        self.current_generator = None
+        self.num_provided_items = 0
+
+
+def takes(*argkeys):
+    """Decorator declaring the input keys of a dynamic item."""
+
+    def decorator(obj):
+        if isinstance(obj, DynamicItem):
+            if obj.takes:
+                raise ValueError("Can't overwrite existing takes-spec.")
+            obj.takes = list(argkeys)
+            return obj
+        elif inspect.isgeneratorfunction(obj):
+            return GeneratorDynamicItem(takes=argkeys, func=obj)
+        else:
+            return DynamicItem(takes=argkeys, func=obj)
+
+    return decorator
+
+
+takes_decorator = takes  # alias matching reference naming
+
+
+def provides(*output_keys):
+    """Decorator declaring the output keys of a dynamic item."""
+
+    def decorator(obj):
+        if isinstance(obj, DynamicItem):
+            if obj.provides:
+                raise ValueError("Can't overwrite existing provides-spec.")
+            obj.provides = list(output_keys)
+            return obj
+        elif inspect.isgeneratorfunction(obj):
+            return GeneratorDynamicItem(func=obj, provides=output_keys)
+        else:
+            return DynamicItem(func=obj, provides=output_keys)
+
+    return decorator
+
+
+provides_decorator = provides  # alias matching reference naming
+
+
+class DataPipeline:
+    """Computes requested output keys from static data + dynamic items.
+
+    Dynamic items form a DAG through their takes/provides declarations;
+    only the transforms needed for the currently-set output keys run.
+    """
+
+    def __init__(self, static_data_keys, dynamic_items=(), output_keys=()):
+        self.dg = DependencyGraph()
+        self._exec_order = None
+        self.key_to_node = {}
+        self.unaccounted_keys = {}
+        self.dynamic_items = []
+        self.output_mapping = {}
+        self.add_static_keys(static_data_keys)
+        for item in dynamic_items:
+            if isinstance(item, dict):
+                self.add_dynamic_item(**item)
+            else:
+                self.add_dynamic_item(item)
+        self.set_output_keys(output_keys)
+
+    def add_static_keys(self, static_keys):
+        for key in static_keys:
+            node_id = self.dg.add_node(data=StaticItem(key))
+            self.key_to_node[key] = node_id
+
+    def add_dynamic_item(self, func, takes=None, provides=None):
+        """Add one transform. ``func`` may already be a decorated DynamicItem."""
+        if isinstance(func, DynamicItem):
+            if takes is not None or provides is not None:
+                raise ValueError(
+                    "If providing a DynamicItem, don't also pass takes/provides."
+                )
+            self._add_dynamic_item_object(func)
+            return
+        if isinstance(takes, str):
+            takes = [takes]
+        if isinstance(provides, str):
+            provides = [provides]
+        di = takes_decorator(*takes)(provides_decorator(*provides)(func))
+        self._add_dynamic_item_object(di)
+
+    def _add_dynamic_item_object(self, obj):
+        if not obj.provides:
+            raise ValueError("Dynamic item must provide at least one key.")
+        for depended in obj.takes:
+            if depended not in self.key_to_node:
+                self.unaccounted_keys.setdefault(depended, []).append(obj.provides)
+        # One graph node per provide-stage (generators yield keys in stages;
+        # plain functions have a single stage). Stage k depends on stage k-1;
+        # the takes-edges attach to stage 0, where inputs are consumed.
+        prev_node = None
+        for stage_idx, stage_keys in enumerate(obj.provided_in_order()):
+            node_id = self.dg.add_node(data=obj)
+            if prev_node is not None:
+                self.dg.add_edge(node_id, prev_node)
+            for provided in stage_keys:
+                self.key_to_node[provided] = node_id
+                if provided in self.unaccounted_keys:
+                    for dependent_provides in self.unaccounted_keys[provided]:
+                        dependent_node = self.key_to_node[dependent_provides[0]]
+                        self.dg.add_edge(dependent_node, node_id)
+                    del self.unaccounted_keys[provided]
+            if stage_idx == 0:
+                for depended in obj.takes:
+                    if depended in self.key_to_node:
+                        self.dg.add_edge(node_id, self.key_to_node[depended])
+            prev_node = node_id
+        self.dynamic_items.append(obj)
+        self._exec_order = None
+
+    def set_output_keys(self, keys):
+        """Set which keys to compute. Accepts a list or a {out_name: key} map."""
+        self.output_mapping = self._output_keys_to_mapping(keys)
+        self._exec_order = None
+
+    @staticmethod
+    def _output_keys_to_mapping(keys):
+        if keys is None:
+            return {}
+        if isinstance(keys, dict):
+            return keys
+        return {key: key for key in keys}
+
+    def compute_outputs(self, data):
+        """Compute the currently-set output keys for one data point."""
+        if self._exec_order is None:
+            self._prepare_run(data)
+        return self._compute(data, self._exec_order, self.output_mapping)
+
+    def __call__(self, data):
+        return self.compute_outputs(data)
+
+    def compute_specific(self, keys, data):
+        """Compute specific keys, ignoring the set output keys."""
+        mapping = self._output_keys_to_mapping(keys)
+        order = self.dg.get_evaluation_order(
+            selected_keys=self.get_selected_node_ids(keys)
+        )
+        return self._compute(data, order, mapping)
+
+    def _compute(self, data, order, output_mapping):
+        if self.unaccounted_keys:
+            missing = [
+                key for key in self.unaccounted_keys if key not in data
+            ]
+            if missing:
+                raise RuntimeError(
+                    f"Pipeline needs keys not provided anywhere: {missing}"
+                )
+        intermediate = {}
+        for node in list(order):
+            item = node.data
+            if isinstance(item, StaticItem):
+                try:
+                    intermediate[item.key] = data[item.key]
+                    continue
+                except KeyError:
+                    raise KeyError(f"Expected key {item.key} in data.")
+            item_takes = item.next_takes()
+            args = [
+                data[argkey] if argkey in data else intermediate[argkey]
+                for argkey in item_takes
+            ]
+            provided_keys = item.next_provides()
+            values = item(*args)
+            if len(provided_keys) == 1:
+                values = [values]
+            intermediate.update(zip(provided_keys, values))
+        for item in self.dynamic_items:
+            item.reset()
+        return {
+            outkey: data[inkey] if inkey in data else intermediate[inkey]
+            for outkey, inkey in output_mapping.items()
+        }
+
+    def get_selected_node_ids(self, selected_keys):
+        return [self.key_to_node[key] for key in selected_keys]
+
+    def _prepare_run(self, data):
+        self._exec_order = list(
+            self.dg.get_evaluation_order(
+                self.get_selected_node_ids(self.output_mapping.values())
+            )
+        )
+
+
+class StaticItem:
+    """Marker node for a key that comes directly from the loaded data."""
+
+    def __init__(self, key):
+        self.key = key

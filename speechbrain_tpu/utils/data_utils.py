@@ -1,0 +1,261 @@
+"""Padding, batching, and nested-structure helpers.
+
+Capability parity with the reference's ``speechbrain/utils/data_utils.py``
+(pad_right_to :417, batch_pad_right :459, undo_padding :28,
+recursive_update, split_path, pad_divisible :682, masked stats :1089).
+Host-side collate runs on numpy; device-side helpers take/return
+``jax.numpy`` arrays and are jit-safe (static shapes, masked compute).
+"""
+
+import collections.abc
+import os
+import pathlib
+import re
+import urllib.request
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host-side padding (numpy; used by PaddedBatch collate)
+# ---------------------------------------------------------------------------
+
+def pad_right_to(array, target_shape, value=0):
+    """Pad a numpy array on the right of each dim up to ``target_shape``.
+
+    Returns
+    -------
+    padded : np.ndarray
+    valid_percent : list of float
+        Fraction of valid (unpadded) extent per dimension.
+    """
+    array = np.asarray(array)
+    assert len(target_shape) == array.ndim, (target_shape, array.shape)
+    pads = []
+    valid_percent = []
+    for i, target in enumerate(target_shape):
+        if target < array.shape[i]:
+            raise ValueError(
+                f"Target shape {target_shape} smaller than source {array.shape}"
+            )
+        pads.append((0, target - array.shape[i]))
+        valid_percent.append(array.shape[i] / target)
+    padded = np.pad(array, pads, mode="constant", constant_values=value)
+    return padded, valid_percent
+
+
+def batch_pad_right(arrays, mode="constant", value=0, val_index=0):
+    """Pad a list of numpy arrays to equal (max) shape and stack.
+
+    Returns
+    -------
+    batched : np.ndarray  (len(arrays), *max_shape)
+    valid : np.ndarray    relative valid length per example along dim
+                          ``val_index`` (the reference's relative-lengths
+                          convention: len / max_len).
+    """
+    assert len(arrays), "Expected at least one array"
+    arrays = [np.asarray(x) for x in arrays]
+    ndim = arrays[0].ndim
+    if any(x.ndim != ndim for x in arrays):
+        raise ValueError("All arrays must have the same number of dims")
+    max_shape = [max(x.shape[d] for x in arrays) for d in range(ndim)]
+    batched, valid = [], []
+    for x in arrays:
+        padded, valid_percent = pad_right_to(x, max_shape, value=value)
+        batched.append(padded)
+        valid.append(valid_percent[val_index])
+    return np.stack(batched), np.asarray(valid, dtype=np.float32)
+
+
+def undo_padding(batch, lengths):
+    """Produce a list of python lists trimmed to each example's true length.
+
+    Arguments
+    ---------
+    batch : array (B, T, ...)
+    lengths : array (B,) relative lengths in [0, 1].
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> undo_padding(np.array([[1, 2, 0], [3, 4, 5]]), np.array([2/3, 1.0]))
+    [[1, 2], [3, 4, 5]]
+    """
+    batch = np.asarray(batch)
+    lengths = np.asarray(lengths)
+    batch_max_len = batch.shape[1]
+    out = []
+    for seq, rel_len in zip(batch, lengths):
+        actual = int(round(float(rel_len) * batch_max_len))
+        out.append(seq[:actual].tolist())
+    return out
+
+
+def pad_divisible(array, length=None, factor=1, value=0, axis=0):
+    """Pad ``array`` along ``axis`` so its extent is divisible by ``factor``."""
+    array = np.asarray(array)
+    size = array.shape[axis] if length is None else length
+    remainder = size % factor
+    if remainder == 0:
+        return array
+    pad_amt = factor - remainder
+    pads = [(0, 0)] * array.ndim
+    pads[axis] = (0, pad_amt)
+    return np.pad(array, pads, mode="constant", constant_values=value)
+
+
+def round_up(value, multiple):
+    """Smallest multiple of ``multiple`` that is >= value (bucketing helper)."""
+    return int(-(-value // multiple) * multiple)
+
+
+# ---------------------------------------------------------------------------
+# Nested structure helpers
+# ---------------------------------------------------------------------------
+
+def recursive_update(d, u, must_match=False):
+    """In-place deep update of nested mapping ``d`` with ``u``."""
+    for k, v in u.items():
+        if isinstance(v, collections.abc.Mapping) and isinstance(
+            d.get(k, None), collections.abc.Mapping
+        ):
+            recursive_update(d[k], v, must_match=must_match)
+        elif must_match and k not in d:
+            raise KeyError(
+                f"Override '{k}' not found in the base (must_match=True)."
+            )
+        else:
+            d[k] = v
+
+
+def recursive_items(d, key_prefix=()):
+    """Yield (key-tuple, value) pairs from a nested mapping."""
+    for k, v in d.items():
+        if isinstance(v, collections.abc.Mapping):
+            yield from recursive_items(v, key_prefix + (k,))
+        else:
+            yield key_prefix + (k,), v
+
+
+def batch_shuffle(arrays, batch_size, rng=None):
+    """Shuffle a list in contiguous blocks of ``batch_size``."""
+    rng = rng or np.random
+    n_full = len(arrays) // batch_size
+    perm = rng.permutation(n_full)
+    out = []
+    for b in perm:
+        out.extend(arrays[b * batch_size : (b + 1) * batch_size])
+    out.extend(arrays[n_full * batch_size :])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Path / download helpers
+# ---------------------------------------------------------------------------
+
+def split_path(path):
+    """Split a path/URI into (source_dir, filename)."""
+    path = str(path)
+    if "/" in path:
+        source, filename = path.rsplit("/", maxsplit=1)
+    else:
+        source, filename = "./", path
+    return source, filename
+
+
+def get_all_files(dir_name, match_and=None, match_or=None, exclude_and=None, exclude_or=None):
+    """Recursively list files under ``dir_name`` with substring filters."""
+    results = []
+    for root, _dirs, files in os.walk(dir_name):
+        for f in files:
+            full = os.path.join(root, f)
+            if match_and and not all(m in full for m in match_and):
+                continue
+            if match_or and not any(m in full for m in match_or):
+                continue
+            if exclude_and and all(m in full for m in exclude_and):
+                continue
+            if exclude_or and any(m in full for m in exclude_or):
+                continue
+            results.append(full)
+    return sorted(results)
+
+
+def get_list_from_csv(csvfile, field, delimiter=",", skipinitialspace=True):
+    """Extract one column of a CSV as a list of strings."""
+    import csv
+
+    values = []
+    with open(csvfile, newline="", encoding="utf-8") as f:
+        reader = csv.DictReader(f, delimiter=delimiter, skipinitialspace=skipinitialspace)
+        for row in reader:
+            values.append(row[field])
+    return values
+
+
+def download_file(source, dest, unpack=False, dest_unpack=None, replace_existing=False):
+    """Download (or copy) ``source`` to ``dest``; optionally unpack archives."""
+    import shutil
+
+    dest = pathlib.Path(dest)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    if dest.exists() and not replace_existing:
+        pass
+    elif str(source).startswith(("http://", "https://")):
+        urllib.request.urlretrieve(source, dest)
+    else:
+        shutil.copy(source, dest)
+    if unpack:
+        dest_unpack = dest_unpack or dest.parent
+        shutil.unpack_archive(str(dest), str(dest_unpack))
+
+
+def parse_arithmetic_expression(expr):
+    """Safely evaluate a simple arithmetic expression (digits and + - * / ( ))."""
+    if not re.fullmatch(r"[\d\s\.\+\-\*\/\(\)eE]+", expr):
+        raise ValueError(f"Unsafe expression: {expr}")
+    return eval(expr, {"__builtins__": {}}, {})
+
+
+# ---------------------------------------------------------------------------
+# Device-side masked statistics (jit-safe)
+# ---------------------------------------------------------------------------
+
+def masked_mean(x, mask=None, axis=None, keepdims=False, eps=1e-12):
+    """Mean over unmasked elements. ``mask`` broadcasts against ``x`` (1=valid)."""
+    import jax.numpy as jnp
+
+    if mask is None:
+        return jnp.mean(x, axis=axis, keepdims=keepdims)
+    mask = mask.astype(x.dtype)
+    total = jnp.sum(x * mask, axis=axis, keepdims=keepdims)
+    count = jnp.sum(mask * jnp.ones_like(x), axis=axis, keepdims=keepdims)
+    return total / jnp.maximum(count, eps)
+
+
+def masked_std(x, mask=None, axis=None, keepdims=False, eps=1e-12):
+    """Standard deviation over unmasked elements."""
+    import jax.numpy as jnp
+
+    mean = masked_mean(x, mask, axis=axis, keepdims=True, eps=eps)
+    var = masked_mean((x - mean) ** 2, mask, axis=axis, keepdims=keepdims, eps=eps)
+    return jnp.sqrt(var + eps)
+
+
+def masked_min(x, mask=None, axis=None, keepdims=False):
+    import jax.numpy as jnp
+
+    if mask is None:
+        return jnp.min(x, axis=axis, keepdims=keepdims)
+    big = jnp.finfo(x.dtype).max
+    return jnp.min(jnp.where(mask.astype(bool), x, big), axis=axis, keepdims=keepdims)
+
+
+def masked_max(x, mask=None, axis=None, keepdims=False):
+    import jax.numpy as jnp
+
+    if mask is None:
+        return jnp.max(x, axis=axis, keepdims=keepdims)
+    small = jnp.finfo(x.dtype).min
+    return jnp.max(jnp.where(mask.astype(bool), x, small), axis=axis, keepdims=keepdims)
