@@ -1,0 +1,97 @@
+"""Benchmark: mel-frontend (Fbank) throughput on the real TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (SURVEY.md §6); the
+baseline here is the same Fbank pipeline computed with torch (CPU) —
+the reference's actual compute substrate in this container — so
+vs_baseline = TPU speedup over the reference implementation's
+throughput on the available hardware.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 64
+SECONDS = 10.0
+SR = 16000
+N_MELS = 80
+ITERS = 20
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.features import Fbank
+
+    fbank = Fbank(n_mels=N_MELS)
+    wavs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((BATCH, int(SR * SECONDS))),
+        dtype=jnp.float32,
+    )
+    fn = jax.jit(fbank.__call__)
+    out = fn(wavs)
+    out.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(wavs)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+    audio_seconds = BATCH * SECONDS
+    return audio_seconds / dt  # audio-seconds processed per wall-second
+
+
+def bench_torch_reference():
+    """The same pipeline with torch CPU ops (the reference's stack here)."""
+    try:
+        import torch
+    except ImportError:
+        return None
+    from speechbrain_tpu.processing.features import mel_filterbank_matrix
+
+    mel = torch.from_numpy(
+        np.asarray(mel_filterbank_matrix(N_MELS, 400, SR, 0, SR // 2))
+    )
+    window = torch.hamming_window(400)
+    wavs = torch.randn(BATCH, int(SR * SECONDS))
+
+    def run():
+        spec = torch.stft(
+            wavs, 400, 160, 400, window, center=True, pad_mode="constant",
+            return_complex=True,
+        )
+        ps = spec.real**2 + spec.imag**2  # (B, F, T)
+        fb = torch.matmul(ps.transpose(1, 2), mel)
+        out = 10.0 * torch.log10(torch.clamp(fb, min=1e-10))
+        return out
+
+    run()  # warmup
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+    return BATCH * SECONDS / dt
+
+
+def main():
+    value = bench_tpu()
+    baseline = bench_torch_reference()
+    vs = value / baseline if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "fbank_frontend_throughput",
+                "value": round(value, 1),
+                "unit": "audio_seconds_per_second",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

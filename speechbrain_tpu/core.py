@@ -354,6 +354,47 @@ class Brain:
             self._sync_refs_in()
 
     # ------------------------------------------------------------------
+    # flax module plumbing helpers
+    # ------------------------------------------------------------------
+    def module_apply(
+        self, name, params, model_state, *args, mutable_state=None, rngs=None, **kwargs
+    ):
+        """Apply ``self.modules.<name>`` with its params + state collections.
+
+        Returns (output, state_updates) where state_updates is a dict of
+        {collection: tree} for this module (empty when nothing mutable).
+        Pass ``mutable_state=["batch_stats"]`` during training forward.
+        """
+        module = getattr(self.modules, name)
+        variables = {"params": params[name]}
+        for coll, trees in (model_state or {}).items():
+            if isinstance(trees, dict) and name in trees and trees[name]:
+                variables[coll] = trees[name]
+        mutable = [c for c in (mutable_state or []) if c in variables]
+        if mutable:
+            out, updates = module.apply(
+                variables, *args, mutable=mutable, rngs=rngs, **kwargs
+            )
+            return out, dict(updates)
+        return module.apply(variables, *args, rngs=rngs, **kwargs), {}
+
+    @staticmethod
+    def merge_state(model_state, name, updates):
+        """Merge one module's collection updates into the global state
+        (pure: returns a new dict)."""
+        new_state = {k: dict(v) for k, v in (model_state or {}).items()}
+        for coll, tree in updates.items():
+            new_state.setdefault(coll, {})[name] = tree
+        return new_state
+
+    def init_module(self, rng, name, *args, **kwargs):
+        """Initialize one module; returns (params_tree, collections_dict)."""
+        module = getattr(self.modules, name)
+        variables = dict(module.init(rng, *args, **kwargs))
+        params = variables.pop("params", {})
+        return params, variables
+
+    # ------------------------------------------------------------------
     # Parameter init
     # ------------------------------------------------------------------
     def init_params(self, example_batch=None):
@@ -497,9 +538,20 @@ class Brain:
     # Batch-level API
     # ------------------------------------------------------------------
     def _prepare_batch(self, batch):
-        """Move a PaddedBatch (or dict pytree) to device, sharded on data."""
+        """Move a PaddedBatch (or dict pytree) to device, sharded on the
+        data axis. Non-array entries (ids, raw strings) are stripped from
+        the jit input and kept on ``self.host_batch`` for hooks/metrics."""
         if hasattr(batch, "to_device"):
-            return batch.to_device()
+            batch = batch.to_device()
+        if isinstance(batch, dict):
+            device_batch, host_batch = {}, {}
+            for key, value in batch.items():
+                if _is_device_value(value):
+                    device_batch[key] = value
+                else:
+                    host_batch[key] = value
+            self.host_batch = host_batch
+            return device_batch
         return batch
 
     def fit_batch(self, batch):
@@ -595,8 +647,8 @@ class Brain:
             valid_set = self.make_dataloader(
                 valid_set, stage=Stage.VALID, ckpt_prefix=None, **valid_loader_kwargs
             )
-        if self.params is None and not hasattr(self, "init_forward"):
-            # lazy init from the first batch
+        if self.params is None:
+            # lazy init: trace the first batch for shape inference
             first = next(iter(train_set))
             self._example_batch = self._prepare_batch(first)
         self.on_fit_start()
@@ -738,6 +790,22 @@ def _progress(iterable, enable, desc):
         except ImportError:
             pass
     return iterable
+
+
+def _is_device_value(value):
+    """True for values that can be jit arguments (arrays / PaddedData of
+    arrays / numeric scalars), False for strings and other host objects."""
+    from speechbrain_tpu.dataio.batch import PaddedData
+
+    if isinstance(value, PaddedData):
+        return True
+    if isinstance(value, (int, float, bool)):
+        return True
+    if hasattr(value, "dtype") and hasattr(value, "shape"):
+        return np.issubdtype(np.asarray(value).dtype, np.number) or np.issubdtype(
+            np.asarray(value).dtype, np.bool_
+        )
+    return False
 
 
 def _same_shape(a, b):

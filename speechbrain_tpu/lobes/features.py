@@ -90,8 +90,9 @@ class Fbank:
                 top_db=self.compute_fbanks.top_db,
             )
         else:
-            stft = self.compute_STFT(wav)
-            mag = spectral_magnitude(stft)
+            # power() avoids complex dtypes: on TPU it lowers to two real
+            # matmuls with the window folded in (MXU path)
+            mag = self.compute_STFT.power(wav)
             fbanks = self.compute_fbanks(mag)
         if self.deltas:
             delta1 = self.compute_deltas(fbanks)
@@ -161,8 +162,7 @@ class MFCC:
         )
 
     def __call__(self, wav):
-        stft = self.compute_STFT(wav)
-        mag = spectral_magnitude(stft)
+        mag = self.compute_STFT.power(wav)
         fbanks = self.compute_fbanks(mag)
         mfccs = self.compute_dct(fbanks)
         if self.deltas:

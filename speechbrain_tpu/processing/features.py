@@ -115,6 +115,7 @@ class STFT:
         center=True,
         pad_mode="constant",
         onesided=True,
+        backend="auto",
     ):
         self.sample_rate = sample_rate
         self.win_length = _ms_to_samples(sample_rate, win_length)
@@ -124,6 +125,7 @@ class STFT:
         self.center = center
         self.pad_mode = pad_mode
         self.onesided = onesided
+        self.backend = backend
         window = (
             _WINDOWS[window_fn](self.win_length)
             if isinstance(window_fn, str)
@@ -136,23 +138,77 @@ class STFT:
             padded[left : left + self.win_length] = window
             window = padded
         self.window = jnp.asarray(window)
+        self._dft_mats = None  # lazily built (cos, sin) for the matmul path
+
+    def _resolve_backend(self):
+        if self.backend != "auto":
+            return self.backend
+        import jax as _jax
+
+        # TPU: FFT custom-calls may be unavailable (axon) and the MXU makes
+        # a real-DFT matmul the faster path anyway at speech n_fft sizes.
+        return "matmul" if _jax.default_backend() == "tpu" else "rfft"
+
+    def _get_dft_mats(self):
+        if self._dft_mats is None:
+            n_freq = self.n_fft // 2 + 1
+            k = np.arange(n_freq)[None, :]
+            n = np.arange(self.n_fft)[:, None]
+            ang = 2.0 * np.pi * n * k / self.n_fft
+            w = np.asarray(self.window)[:, None]
+            # fold the window into the DFT matrices: one matmul does
+            # window + transform together (MXU-friendly)
+            cos_m = (np.cos(ang) * w).astype(np.float32)
+            sin_m = (-np.sin(ang) * w).astype(np.float32)
+            self._dft_mats = (jnp.asarray(cos_m), jnp.asarray(sin_m))
+        return self._dft_mats
+
+    def _frames(self, x):
+        return frame_signal(x, self.n_fft, self.hop_length, self.center, self.pad_mode)
 
     def __call__(self, x):
         multi_channel = x.ndim == 3
         if multi_channel:
             x = jnp.moveaxis(x, 2, 1)  # (batch, channel, time)
-        frames = frame_signal(
-            x, self.n_fft, self.hop_length, self.center, self.pad_mode
-        )
-        frames = frames * self.window
-        stft = jnp.fft.rfft(frames, n=self.n_fft, axis=-1)
-        if not self.onesided:
-            stft = jnp.fft.fft(frames, n=self.n_fft, axis=-1)
+        frames = self._frames(x)
+        if self._resolve_backend() == "matmul":
+            cos_m, sin_m = self._get_dft_mats()
+            real = jnp.matmul(frames, cos_m)
+            imag = jnp.matmul(frames, sin_m)
+            stft = jax.lax.complex(real, imag)
+        else:
+            frames = frames * self.window
+            if self.onesided:
+                stft = jnp.fft.rfft(frames, n=self.n_fft, axis=-1)
+            else:
+                stft = jnp.fft.fft(frames, n=self.n_fft, axis=-1)
         if self.normalized_stft:
             stft = stft / math.sqrt(self.n_fft)
         if multi_channel:
             stft = jnp.moveaxis(stft, 1, -1)  # (batch, time, freq, channel)
         return stft
+
+    def power(self, x):
+        """Power spectrogram |STFT|^2 without materializing complex values —
+        the TPU fast path (two real matmuls with the window folded in)."""
+        multi_channel = x.ndim == 3
+        if multi_channel:
+            x = jnp.moveaxis(x, 2, 1)
+        frames = self._frames(x)
+        if self._resolve_backend() == "matmul":
+            cos_m, sin_m = self._get_dft_mats()
+            real = jnp.matmul(frames, cos_m)
+            imag = jnp.matmul(frames, sin_m)
+            ps = real * real + imag * imag
+        else:
+            frames = frames * self.window
+            stft = jnp.fft.rfft(frames, n=self.n_fft, axis=-1)
+            ps = stft.real**2 + stft.imag**2
+        if self.normalized_stft:
+            ps = ps / self.n_fft
+        if multi_channel:
+            ps = jnp.moveaxis(ps, 1, -1)
+        return ps
 
     def get_filter_properties(self):
         from speechbrain_tpu.utils.filter_analysis import FilterProperties

@@ -59,6 +59,9 @@ def batch_pad_right(arrays, mode="constant", value=0, val_index=0):
     ndim = arrays[0].ndim
     if any(x.ndim != ndim for x in arrays):
         raise ValueError("All arrays must have the same number of dims")
+    if ndim == 0:
+        # scalars: nothing to pad
+        return np.stack(arrays), np.ones(len(arrays), dtype=np.float32)
     max_shape = [max(x.shape[d] for x in arrays) for d in range(ndim)]
     batched, valid = [], []
     for x in arrays:

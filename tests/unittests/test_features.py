@@ -169,3 +169,15 @@ def test_fbank_jit(wav):
     out = jitted(jnp.asarray(wav))
     ref = fbank(jnp.asarray(wav))
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_stft_matmul_backend_matches_rfft(wav):
+    """The TPU matmul-DFT path must match the rfft path numerically."""
+    s_fft = STFT(16000, backend="rfft")
+    s_mm = STFT(16000, backend="matmul")
+    a = np.asarray(s_fft(jnp.asarray(wav)))
+    b = np.asarray(s_mm(jnp.asarray(wav)))
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 1e-4
+    pa = np.asarray(s_fft.power(jnp.asarray(wav)))
+    pb = np.asarray(s_mm.power(jnp.asarray(wav)))
+    assert np.abs(pa - pb).max() / (pa.max() + 1e-9) < 1e-4
