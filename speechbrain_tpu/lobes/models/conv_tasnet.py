@@ -1,0 +1,130 @@
+"""Conv-TasNet mask network.
+
+Capability parity with the reference's
+``speechbrain/lobes/models/conv_tasnet.py`` (MaskNet :175, TemporalBlock,
+DepthwiseSeparableConv, ChannelwiseLayerNorm, GlobalLayerNorm): stacked
+dilated temporal conv blocks over encoder features producing per-source
+masks. Use with dual_path.Encoder/Decoder.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speechbrain_tpu.nnet.CNN import Conv1d
+from speechbrain_tpu.nnet.normalization import GroupNorm, LayerNorm
+
+
+class ChannelwiseLayerNorm(nn.Module):
+    """cLN over the channel axis per frame (reference conv_tasnet.py:24)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return LayerNorm(name="ln")(x)
+
+
+class GlobalLayerNorm(nn.Module):
+    """gLN over (time, channel) jointly (reference conv_tasnet.py:77)."""
+
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (C,))
+        beta = self.param("beta", nn.initializers.zeros, (C,))
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return gamma * (x - mean) * jax.lax.rsqrt(var + self.eps) + beta
+
+
+def _choose_norm(norm_type, name):
+    if norm_type == "gLN":
+        return GlobalLayerNorm(name=name)
+    if norm_type == "cLN":
+        return ChannelwiseLayerNorm(name=name)
+    raise ValueError(f"Unsupported norm {norm_type}")
+
+
+class TemporalBlock(nn.Module):
+    """1x1 conv -> PReLU -> norm -> depthwise separable conv, residual
+    (reference conv_tasnet.py:253)."""
+
+    out_channels: int
+    kernel_size: int
+    dilation: int
+    norm_type: str = "gLN"
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        y = Conv1d(self.out_channels, 1, bias=False, name="conv1x1")(x)
+        alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
+        y = jnp.where(y >= 0, y, alpha * y)
+        y = _choose_norm(self.norm_type, "norm1")(y)
+        # depthwise
+        y = Conv1d(
+            self.out_channels,
+            self.kernel_size,
+            dilation=self.dilation,
+            groups=self.out_channels,
+            padding="causal" if self.causal else "same",
+            bias=False,
+            name="dw",
+        )(y)
+        alpha2 = self.param("prelu2", nn.initializers.constant(0.25), (1,))
+        y = jnp.where(y >= 0, y, alpha2 * y)
+        y = _choose_norm(self.norm_type, "norm2")(y)
+        y = Conv1d(in_ch, 1, bias=False, name="pointwise")(y)
+        return x + y
+
+
+class MaskNet(nn.Module):
+    """Temporal conv mask network (reference conv_tasnet.py:175).
+
+    Input (B, T, N) encoder features -> (num_spks, B, T, N) masks.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> net = MaskNet(N=8, B=4, H=8, P=3, X=2, R=1, C=2)
+    >>> x = jnp.ones((2, 50, 8))
+    >>> v = net.init(jax.random.PRNGKey(0), x)
+    >>> net.apply(v, x).shape
+    (2, 2, 50, 8)
+    """
+
+    N: int  # encoder channels
+    B: int  # bottleneck channels
+    H: int  # conv block channels
+    P: int  # kernel size
+    X: int  # blocks per repeat
+    R: int  # repeats
+    C: int  # number of sources
+    norm_type: str = "gLN"
+    causal: bool = False
+    mask_nonlinear: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        Bsz, T, N = x.shape
+        y = ChannelwiseLayerNorm(name="ln_in")(x)
+        y = Conv1d(self.B, 1, bias=False, name="bottleneck")(y)
+        for r in range(self.R):
+            for b in range(self.X):
+                y = TemporalBlock(
+                    out_channels=self.H,
+                    kernel_size=self.P,
+                    dilation=2**b,
+                    norm_type=self.norm_type,
+                    causal=self.causal,
+                    name=f"tcn_{r}_{b}",
+                )(y)
+        alpha = self.param("prelu_out", nn.initializers.constant(0.25), (1,))
+        y = jnp.where(y >= 0, y, alpha * y)
+        y = Conv1d(self.C * self.N, 1, bias=False, name="mask_conv")(y)
+        y = y.reshape(Bsz, T, self.C, self.N).transpose(0, 2, 1, 3)
+        if self.mask_nonlinear == "softmax":
+            return jax.nn.softmax(y, axis=1)
+        return jax.nn.relu(y)

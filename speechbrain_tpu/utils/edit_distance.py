@@ -40,15 +40,18 @@ def accumulatable_wer_stats(refs, hyps, stats=None):
     >>> round(stats["WER"], 1)
     40.0
     """
-    updated_stats = dict(stats) if stats else collections.Counter()
-    if not updated_stats:
-        updated_stats = collections.Counter()
+    updated_stats = collections.Counter(stats) if stats else collections.Counter()
+    # derived fields must not double-accumulate
+    for derived in ("WER", "num_edits"):
+        updated_stats.pop(derived, None)
     for ref, hyp in zip(refs, hyps):
         table = op_table(ref, hyp)
         edits = count_ops(table)
         updated_stats.update(edits)
         updated_stats.update({"num_ref_tokens": len(ref)})
     updated = dict(updated_stats)
+    for key in ("insertions", "deletions", "substitutions"):
+        updated.setdefault(key, 0)
     n = max(updated.get("num_ref_tokens", 0), 1)
     updated["num_edits"] = (
         updated.get("insertions", 0)

@@ -1,0 +1,142 @@
+"""Pretraining-parameter transfer: collect files, run transfer hooks.
+
+Capability parity with the reference's
+``speechbrain/utils/parameter_transfer.py`` (Pretrainer :33, collect_files
+:188, load_collected :299): declaratively map {name: source-path} to
+loadable objects, fetch each file (local/URL/HF), then run each object's
+*transfer* hook (non-strict load).
+
+Torch checkpoints (.ckpt state_dicts from the reference's HF models) are
+converted to jax pytrees through ``speechbrain_tpu.utils.torch_convert``
+when the target is a PytreeRef/param dict — the key-mapping hooks live
+there (conv layout transposes etc.).
+"""
+
+import pathlib
+
+from speechbrain_tpu.utils.checkpoints import (
+    DEFAULT_TRANSFER_HOOKS,
+    PytreeRef,
+    get_default_hook,
+)
+from speechbrain_tpu.utils.fetching import LocalStrategy, fetch
+from speechbrain_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+class Pretrainer:
+    """Collect and load pretrained parameters for a set of loadables.
+
+    Arguments
+    ---------
+    loadables : dict name -> object
+        Objects with transfer hooks (PytreeRef, encoders, normalizers...).
+    paths : dict name -> str
+        Per-loadable source: "filename", "source/filename" or full URL.
+    collect_in : str, optional
+        Directory to collect files into.
+    conditions : dict, optional
+        name -> bool; skip loadables whose condition is False.
+    """
+
+    def __init__(self, collect_in=None, loadables=None, paths=None, conditions=None):
+        self.loadables = {}
+        self.collect_in = pathlib.Path(collect_in) if collect_in else None
+        if loadables is not None:
+            self.add_loadables(loadables)
+        self.paths = {}
+        if paths is not None:
+            self.add_paths(paths)
+        self.conditions = {}
+        if conditions is not None:
+            self.add_conditions(conditions)
+        self.loaded_paths = {}
+
+    def set_collect_in(self, path):
+        self.collect_in = pathlib.Path(path)
+
+    def add_loadables(self, loadables):
+        self.loadables.update(loadables)
+
+    def add_paths(self, paths):
+        self.paths.update(paths)
+
+    def add_conditions(self, conditions):
+        self.conditions.update(conditions)
+
+    @staticmethod
+    def split_path(path):
+        from speechbrain_tpu.utils.data_utils import split_path
+
+        return split_path(path)
+
+    def is_loadable(self, name):
+        if name not in self.conditions:
+            return True
+        condition = self.conditions[name]
+        return condition() if callable(condition) else bool(condition)
+
+    def collect_files(self, default_source=None, use_auth_token=False,
+                      local_strategy=LocalStrategy.SYMLINK):
+        """Fetch every loadable's file; returns {name: local path}
+        (reference parameter_transfer.py:188)."""
+        loadable_paths = {}
+        for name in self.loadables:
+            if not self.is_loadable(name):
+                continue
+            save_filename = name + ".ckpt"
+            if name in self.paths:
+                source, filename = self.split_path(self.paths[name])
+            elif default_source is not None:
+                source, filename = default_source, save_filename
+            else:
+                raise ValueError(
+                    f"Path not specified for '{name}' and no default_source"
+                )
+            savedir = self.collect_in if self.collect_in else pathlib.Path(".")
+            path = fetch(
+                filename=filename,
+                source=source,
+                savedir=savedir,
+                local_strategy=local_strategy,
+            )
+            loadable_paths[name] = path
+        self.loaded_paths = loadable_paths
+        return loadable_paths
+
+    def load_collected(self):
+        """Run each loadable's transfer hook on its collected file
+        (reference parameter_transfer.py:299)."""
+        paramfiles = self.loaded_paths
+        for name, obj in self.loadables.items():
+            if not self.is_loadable(name) or name not in paramfiles:
+                continue
+            path = paramfiles[name]
+            # torch state-dict checkpoints are converted on the fly
+            if _looks_like_torch_ckpt(path) and isinstance(obj, PytreeRef):
+                from speechbrain_tpu.utils.torch_convert import (
+                    load_torch_state_dict_into_pytree,
+                )
+
+                obj.tree = load_torch_state_dict_into_pytree(path, obj.tree)
+                continue
+            default_hook = get_default_hook(obj, DEFAULT_TRANSFER_HOOKS)
+            if default_hook is not None:
+                default_hook(obj, path)
+                continue
+            raise RuntimeError(
+                f"Don't know how to transfer-load {type(obj)} for '{name}'"
+            )
+        logger.info("Loaded pretrained parameters: %s", list(paramfiles))
+
+
+def _looks_like_torch_ckpt(path):
+    """Cheap sniff: torch zip-serialized files start with PK; flax msgpack
+    does not."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+        return magic == b"PK"
+    except OSError:
+        return False

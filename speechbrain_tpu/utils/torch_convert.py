@@ -1,0 +1,151 @@
+"""Torch checkpoint -> jax pytree conversion.
+
+The reference's published HuggingFace checkpoints are torch state_dicts
+(reference utils/checkpoints.py torch_save/torch_recovery). To load them
+at metric parity we map keys and transpose layouts:
+
+* Linear:      torch (out, in)        -> jax kernel (in, out)
+* Conv1d:      torch (out, in/g, K)   -> jax kernel (K, in/g, out)
+* Conv2d:      torch (out, in/g, H, W)-> jax (H, W, in/g, out)
+* ConvT1d:     torch (in, out/g, K)   -> jax (K, out, in/g)
+* BatchNorm:   weight/bias -> scale/bias; running stats -> batch_stats
+* Embedding:   unchanged (num, dim)
+
+Mapping from state_dict names to flax paths is model-specific; converters
+register per-family rules here. Conversion is best-effort shape-driven
+when no rule matches: a leaf with transposed shape is auto-transposed.
+"""
+
+import numpy as np
+
+from speechbrain_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+def load_torch_state_dict(path):
+    """Load a torch .ckpt into {name: np.ndarray} (CPU, no grad)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    return {k: v.detach().numpy() for k, v in state.items() if hasattr(v, "numpy")}
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for path, v in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return tree
+
+
+def _candidate_transposes(src, dst_shape):
+    """Yield transposed views of src that match dst_shape."""
+    if src.shape == dst_shape:
+        yield src
+        return
+    if src.ndim == 2 and src.T.shape == dst_shape:
+        yield src.T
+    if src.ndim == 3:
+        for perm in [(2, 1, 0), (2, 0, 1), (0, 2, 1), (1, 2, 0)]:
+            if np.transpose(src, perm).shape == dst_shape:
+                yield np.transpose(src, perm)
+    if src.ndim == 4:
+        for perm in [(2, 3, 1, 0), (2, 3, 0, 1)]:
+            if np.transpose(src, perm).shape == dst_shape:
+                yield np.transpose(src, perm)
+
+
+def load_torch_state_dict_into_pytree(path, target_tree, name_map=None, strict=False):
+    """Pour a torch state_dict into a (nested-dict) target pytree.
+
+    Matching strategy: explicit ``name_map`` first; otherwise keys are
+    aligned by normalized name tokens and shape (with automatic layout
+    transposition). Unmatched target leaves keep their current values
+    (non-strict, like the reference's transfer hooks)."""
+    state = load_torch_state_dict(path)
+    flat_target = _flatten(target_tree)
+    used = set()
+    result = {}
+    norm_state = {_normalize_torch_key(k): k for k in state}
+    for tpath, tval in flat_target.items():
+        tshape = tuple(np.asarray(tval).shape)
+        key = None
+        if name_map and tpath in name_map:
+            key = name_map[tpath]
+        else:
+            tnorm = _normalize_target_path(tpath)
+            key = norm_state.get(tnorm)
+        if key is None:
+            # shape-unique fallback
+            cands = [
+                k for k, v in state.items()
+                if k not in used and _shape_compatible(v, tshape)
+            ]
+            if len(cands) == 1:
+                key = cands[0]
+        if key is None or key not in state:
+            if strict:
+                raise KeyError(f"No source for target leaf {tpath}")
+            result[tpath] = tval
+            continue
+        src = state[key]
+        for cand in _candidate_transposes(src, tshape):
+            result[tpath] = np.asarray(cand, dtype=np.asarray(tval).dtype)
+            used.add(key)
+            break
+        else:
+            if strict:
+                raise ValueError(
+                    f"Shape mismatch {src.shape} -> {tshape} for {tpath} <- {key}"
+                )
+            result[tpath] = tval
+    unmatched = [k for k in state if k not in used]
+    if unmatched:
+        logger.warning_once(
+            f"torch->jax: {len(unmatched)} source keys unmatched, e.g. {unmatched[:5]}"
+        )
+    return _unflatten(result)
+
+
+def _shape_compatible(src, dst_shape):
+    return any(True for _ in _candidate_transposes(np.asarray(src), tuple(dst_shape)))
+
+
+_RENAMES = {
+    "weight": "kernel",
+    "running_mean": "mean",
+    "running_var": "var",
+}
+
+
+def _normalize_torch_key(key):
+    toks = []
+    for t in key.split("."):
+        if t.isdigit():
+            toks.append(t)
+        else:
+            toks.append(_RENAMES.get(t, t))
+    return tuple(toks)
+
+
+def _normalize_target_path(path):
+    toks = []
+    for t in path:
+        # flax auto-names like Dense_0 -> dense 0
+        toks.append(str(t))
+    return tuple(toks)
