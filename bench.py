@@ -77,7 +77,70 @@ def bench_torch_reference():
     return BATCH * SECONDS / dt
 
 
+def bench_asr(batch=16, seconds=10.0):
+    """Full ASR inference pipeline: fbank -> Conformer encoder -> CTC
+    greedy argmax, on-device. Returns audio-seconds processed per second
+    (the 'transcribe_batch' throughput north star; RTF = 1/value*batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.features import Fbank
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import TransformerASR
+    from speechbrain_tpu.nnet.linear import Linear
+
+    fbank = Fbank(n_mels=80)
+    net = TransformerASR(
+        tgt_vocab=5000, input_size=80, d_model=256, nhead=4,
+        num_encoder_layers=12, num_decoder_layers=0, d_ffn=1024,
+        encoder_module="conformer", attention_type="RelPosMHAXL",
+        kernel_size=31,
+    )
+    lin = Linear(n_neurons=5000)
+    wavs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, int(SR * seconds))),
+        jnp.float32,
+    )
+    lens = jnp.ones((batch,))
+    feats = fbank(wavs)
+    rng = jax.random.PRNGKey(0)
+    v = net.init(rng, feats, None)
+    enc0 = net.apply(v, feats, method="encode")
+    v_lin = lin.init(rng, enc0)
+
+    @jax.jit
+    def pipeline(wavs, lens):
+        feats = fbank(wavs)
+        enc = net.apply(v, feats, wav_len=lens, method="encode")
+        logits = lin.apply(v_lin, enc)
+        return jnp.argmax(logits, axis=-1)
+
+    out = pipeline(wavs, lens)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        out = pipeline(wavs, lens)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return batch * seconds / dt
+
+
 def main():
+    import sys
+
+    if "--asr" in sys.argv:
+        value = bench_asr()
+        print(
+            json.dumps(
+                {
+                    "metric": "conformer_asr_encode_throughput",
+                    "value": round(value, 1),
+                    "unit": "audio_seconds_per_second",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
     value = bench_tpu()
     baseline = bench_torch_reference()
     vs = value / baseline if baseline else None

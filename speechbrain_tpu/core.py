@@ -294,9 +294,19 @@ class Brain:
     def _setup_mesh(self):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        devices = jax.devices()
         if self.run_opts.device == "cpu":
-            devices = jax.devices("cpu")
+            # must be set before the backend initializes; some plugin
+            # platforms (axon) ignore JAX_PLATFORMS env, so use the config
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+            try:
+                devices = jax.devices("cpu")
+            except RuntimeError:
+                devices = jax.devices()
+        else:
+            devices = jax.devices()
         count = self.run_opts.data_parallel_count
         if count is None or count <= 0:
             count = len(devices)
@@ -352,6 +362,25 @@ class Brain:
             self._sync_refs_out()
             self.checkpointer.recover_if_possible(max_key=max_key, min_key=min_key)
             self._sync_refs_in()
+
+    def load_averaged_checkpoints(self, n, max_key=None, min_key=None):
+        """Average the params of the n best checkpoints for evaluation
+        (the reference's avg_checkpoints eval trick, checkpoints.py:1271)."""
+        from speechbrain_tpu.utils.checkpoints import average_checkpoints
+
+        ckpts = self.checkpointer.find_checkpoints(
+            max_key=max_key, min_key=min_key, max_num_checkpoints=n
+        )
+        if not ckpts:
+            raise RuntimeError("No checkpoints found to average")
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else jnp.asarray(x),
+            average_checkpoints(ckpts, "params", target=self.params),
+        )
+        self._sync_refs_out()
+        return len(ckpts)
 
     # ------------------------------------------------------------------
     # flax module plumbing helpers
@@ -424,13 +453,38 @@ class Brain:
         logger.info("%s%s trainable parameters", num, mag)
 
     def init_optimizers(self):
+        """Build the optax optimizer(s).
+
+        ``opt_class`` may be:
+        * a zero-arg factory or optax transform — one optimizer for all
+          params (the common case);
+        * a dict {param_group: factory} matching top-level keys of
+          ``self.params`` — per-group optimizers combined with
+          optax.multi_transform (the reference's ``optimizers_dict``
+          pattern for GANs / differently-scheduled modules,
+          core.py:749-777).
+        """
         import optax
 
         if self.opt_class is None:
             return
-        tx = self.opt_class
-        if callable(tx) and not isinstance(tx, optax.GradientTransformation):
-            tx = tx()
+        if isinstance(self.opt_class, dict):
+            transforms = {}
+            for name, factory in self.opt_class.items():
+                tx = factory
+                if callable(tx) and not isinstance(tx, optax.GradientTransformation):
+                    tx = tx()
+                transforms[name] = tx
+            self.optimizers_dict = transforms
+
+            def label_fn(params):
+                return {k: k for k in params}
+
+            tx = optax.multi_transform(transforms, label_fn)
+        else:
+            tx = self.opt_class
+            if callable(tx) and not isinstance(tx, optax.GradientTransformation):
+                tx = tx()
         if self.run_opts.grad_accumulation_factor > 1:
             tx = optax.MultiSteps(
                 tx, every_k_schedule=self.run_opts.grad_accumulation_factor
@@ -438,6 +492,43 @@ class Brain:
         self.optimizer = tx
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
+
+    def make_gan_steps(self, d_loss_fn, g_loss_fn, d_key, g_key):
+        """Build two jitted alternating update steps for GAN training
+        (the functional analogue of the reference's two-optimizer
+        fit_batch overrides, e.g. MetricGAN).
+
+        d_loss_fn/g_loss_fn: pure (params, model_state, batch, rng) ->
+        (loss, new_model_state). d_key/g_key: top-level param-group names
+        whose params each step updates (others get zero updates via
+        stop-gradient masking).
+        """
+        import optax
+
+        def make_step(loss_fn, group):
+            def step(params, model_state, opt_state, batch, rng):
+                def wrapped(p_group):
+                    full = {**params, group: p_group}
+                    loss, new_state = loss_fn(full, model_state, batch, rng)
+                    return loss, new_state
+
+                (loss, new_state), grads_group = jax.value_and_grad(
+                    wrapped, has_aux=True
+                )(params[group])
+                grads = {
+                    k: grads_group if k == group
+                    else jax.tree_util.tree_map(jnp.zeros_like, v)
+                    for k, v in params.items()
+                }
+                updates, new_opt_state = self.optimizer.update(
+                    grads, opt_state, params
+                )
+                new_params = optax.apply_updates(params, updates)
+                return new_params, new_state, new_opt_state, loss
+
+            return jax.jit(step, donate_argnums=(0, 2)) if self.run_opts.jit else step
+
+        return make_step(d_loss_fn, d_key), make_step(g_loss_fn, g_key)
 
     # ------------------------------------------------------------------
     # Checkpoint state sync (pytrees are held by reference wrappers)
@@ -551,7 +642,17 @@ class Brain:
                 else:
                     host_batch[key] = value
             self.host_batch = host_batch
-            return device_batch
+            batch = device_batch
+        if self.run_opts.precision == "bf16":
+            # bf16 autocast at the batch boundary: float inputs compute in
+            # bf16 on the MXU; params stay fp32 (the reference's AMP ctx,
+            # utils/autocast.py, as a cast policy instead of a context)
+            batch = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                batch,
+            )
         return batch
 
     def fit_batch(self, batch):
@@ -686,6 +787,9 @@ class Brain:
                 self._save_intra_epoch_ckpt()
             del batch
         self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
+        # keep the epoch's train loss readable from later stage hooks
+        # (the reference exposes it via stage stats)
+        self.train_loss = self.avg_train_loss
         self.avg_train_loss = 0.0
         self.step = 0
 

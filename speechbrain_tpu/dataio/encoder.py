@@ -238,6 +238,11 @@ class CategoricalEncoder:
 
     @staticmethod
     def _save_literal(path, lab2ind, extras):
+        import os
+
+        parent = os.path.dirname(str(path))
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(path, "w", encoding="utf-8") as f:
             for label, ind in lab2ind.items():
                 f.write(

@@ -1,0 +1,133 @@
+"""Streaming ASR inference.
+
+Capability parity with the reference's ``speechbrain/inference/ASR.py``
+StreamingASR (:978) + ASRStreamingContext (:948): chunk-wise file/stream
+transcription with carried feature, encoder, and decoder state. The
+audio stream source is any iterator of waveform chunks (files are read
+host-side; the ffmpeg streaming of the reference maps to a simple chunk
+splitter here).
+"""
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.inference.interfaces import Pretrained
+from speechbrain_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class ASRStreamingContext:
+    """Streaming state: chunk config + per-component contexts
+    (reference ASR.py:948)."""
+
+    config: Any
+    fea_extractor_context: Any = None
+    encoder_context: Any = None
+    decoder_context: Any = None
+    tokenizer_context: Any = None
+
+
+class StreamingASR(Pretrained):
+    """Chunk-wise transcription (reference ASR.py:978).
+
+    hparams: fea_streaming_extractor (StreamingFeatureWrapper),
+    streaming_model (with encode_streaming/make_streaming_context via
+    apply), decoding_function (greedy CTC or transducer step), tokenizer,
+    sample_rate.
+    """
+
+    HPARAMS_NEEDED = [
+        "sample_rate", "make_streaming_context", "encode_chunk",
+        "decode_chunk",
+    ]
+
+    def make_streaming_context(self, dynchunktrain_config, batch=1):
+        ctx = ASRStreamingContext(config=dynchunktrain_config)
+        ctx.encoder_context = self.hparams.make_streaming_context(
+            batch, dynchunktrain_config
+        )
+        if hasattr(self.hparams, "fea_streaming_extractor"):
+            ctx.fea_extractor_context = (
+                self.hparams.fea_streaming_extractor.make_streaming_context(batch)
+            )
+        ctx.tokenizer_context = [""] * batch
+        return ctx
+
+    def get_chunk_size_frames(self, dynchunktrain_config):
+        """Audio samples per chunk given the feature extractor's stride."""
+        fea = getattr(self.hparams, "fea_streaming_extractor", None)
+        if fea is not None:
+            props = fea.get_filter_properties()
+            return dynchunktrain_config.chunk_size * props.stride * (
+                getattr(self.hparams, "frontend_stride", 1)
+            )
+        return dynchunktrain_config.chunk_size * getattr(
+            self.hparams, "samples_per_frame", 160
+        )
+
+    def transcribe_chunk(self, context, chunk, chunk_len=None):
+        """Process one audio chunk; returns newly decoded text per batch
+        row (reference ASR.py transcribe_chunk)."""
+        chunk = jnp.asarray(chunk)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        if hasattr(self.hparams, "fea_streaming_extractor"):
+            feats, context.fea_extractor_context = (
+                self.hparams.fea_streaming_extractor(
+                    chunk, context.fea_extractor_context
+                )
+            )
+        else:
+            feats = chunk
+        enc, context.encoder_context = self.hparams.encode_chunk(
+            feats, context.encoder_context
+        )
+        tokens, context.decoder_context = self.hparams.decode_chunk(
+            enc, context.decoder_context
+        )
+        texts = []
+        for b, toks in enumerate(tokens):
+            piece = self.hparams.tokenizer.decode_ids(toks) if toks else ""
+            if piece:
+                prev = context.tokenizer_context[b]
+                sep = " " if prev and not piece.startswith(" ") else ""
+                context.tokenizer_context[b] = prev + sep + piece
+                texts.append(sep + piece)
+            else:
+                texts.append("")
+        return texts
+
+    def transcribe_file_streaming(self, path, dynchunktrain_config, **kwargs):
+        """Yield transcribed text increments for a file
+        (reference ASR.py:1070)."""
+        audio = np.asarray(self.load_audio(path))
+        chunk_size = self.get_chunk_size_frames(dynchunktrain_config)
+        context = self.make_streaming_context(dynchunktrain_config)
+        n_chunks = -(-len(audio) // chunk_size)
+        pad = n_chunks * chunk_size - len(audio)
+        audio = np.pad(audio, (0, pad))
+        for i in range(n_chunks):
+            chunk = audio[i * chunk_size : (i + 1) * chunk_size]
+            words = self.transcribe_chunk(context, chunk)
+            yield words[0]
+
+    def transcribe_file(self, path, dynchunktrain_config=None, **kwargs):
+        """Full-file transcription through the streaming path."""
+        if dynchunktrain_config is None:
+            from speechbrain_tpu.utils.dynamic_chunk_training import (
+                DynChunkTrainConfig,
+            )
+
+            dynchunktrain_config = DynChunkTrainConfig(
+                chunk_size=getattr(self.hparams, "chunk_size", 16),
+                left_context_size=getattr(self.hparams, "left_context_chunks", 4),
+            )
+        pieces = list(
+            self.transcribe_file_streaming(path, dynchunktrain_config)
+        )
+        return "".join(pieces).strip()

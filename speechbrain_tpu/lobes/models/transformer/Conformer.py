@@ -159,43 +159,111 @@ class ConformerEncoderLayer(nn.Module):
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
 
-    @nn.compact
-    def __call__(self, x, src_mask=None, src_key_padding_mask=None,
-                 pos_embs=None, dynchunktrain_config=None, train=False):
-        # first half FFN
-        y = LayerNorm(name="norm_ff1")(x)
-        y = PositionalwiseFeedForward(
+    def setup(self):
+        self.norm_ff1 = LayerNorm(name="norm_ff1")
+        self.ffn1 = PositionalwiseFeedForward(
             d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation,
             name="ffn1",
-        )(y, train=train)
-        x = x + 0.5 * y
-        # MHSA
-        y = LayerNorm(name="norm_mha")(x)
-        attn = _make_attention(self.attention_type, self.d_model, self.nhead, self.dropout)
-        y, attn_w = attn(
-            y, y, y, attn_mask=src_mask, key_padding_mask=src_key_padding_mask,
-            pos_embs=pos_embs, train=train,
         )
-        x = x + y
-        # convolution module
-        y = ConvolutionModule(
+        self.norm_mha = LayerNorm(name="norm_mha")
+        self.attn = _make_attention(
+            self.attention_type, self.d_model, self.nhead, self.dropout
+        )
+        self.conv = ConvolutionModule(
             input_size=self.d_model,
             kernel_size=self.kernel_size,
             bias=self.bias,
             causal=self.causal,
             dropout=self.dropout,
             name="conv",
-        )(x, dynchunktrain_config=dynchunktrain_config, train=train)
-        x = x + y
-        # second half FFN
-        y = LayerNorm(name="norm_ff2")(x)
-        y = PositionalwiseFeedForward(
+        )
+        self.norm_ff2 = LayerNorm(name="norm_ff2")
+        self.ffn2 = PositionalwiseFeedForward(
             d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation,
             name="ffn2",
-        )(y, train=train)
-        x = x + 0.5 * y
-        x = LayerNorm(name="norm_out")(x)
+        )
+        self.norm_out = LayerNorm(name="norm_out")
+
+    def __call__(self, x, src_mask=None, src_key_padding_mask=None,
+                 pos_embs=None, dynchunktrain_config=None, train=False):
+        # first half FFN
+        x = x + 0.5 * self.ffn1(self.norm_ff1(x), train=train)
+        # MHSA
+        y = self.norm_mha(x)
+        y, attn_w = self.attn(
+            y, y, y, attn_mask=src_mask, key_padding_mask=src_key_padding_mask,
+            pos_embs=pos_embs, train=train,
+        )
+        x = x + y
+        # convolution module
+        x = x + self.conv(x, dynchunktrain_config=dynchunktrain_config, train=train)
+        # second half FFN
+        x = x + 0.5 * self.ffn2(self.norm_ff2(x), train=train)
+        x = self.norm_out(x)
         return x, attn_w
+
+    def forward_streaming(self, x, context, pos_embs=None):
+        """One chunk through this layer with carried state
+        (reference Conformer.py:501). Functional: returns (y, new_context).
+
+        ``context`` is a dict pytree with fixed-size buffers:
+        mha_cache (B, L_mha, D), mha_len (scalar int32 valid count),
+        conv_cache (B, half, D), conv_len (scalar int32).
+        Invalid cache rows are masked in attention; for the conv they are
+        zeros, which matches the DCConv training convention.
+        """
+        T = x.shape[1]
+        B = x.shape[0]
+        L_mha = context["mha_cache"].shape[1]
+        half = (self.kernel_size - 1) // 2
+
+        x = x + 0.5 * self.ffn1(self.norm_ff1(x))
+
+        # MHA over [cache | chunk] with invalid cache rows masked
+        full = jnp.concatenate([context["mha_cache"], x], axis=1)
+        new_mha_cache = full[:, -L_mha:, :] if L_mha > 0 else context["mha_cache"]
+        new_mha_len = jnp.minimum(context["mha_len"] + T, L_mha)
+        Tk = full.shape[1]
+        # position p in `full` is valid iff p >= L_mha - mha_len
+        invalid = (
+            jnp.arange(Tk)[None, :] < (L_mha - context["mha_len"])[None]
+        )
+        kpm = jnp.broadcast_to(invalid, (B, Tk))
+        y = self.norm_mha(full)
+        if pos_embs is None and self.attention_type == "RelPosMHAXL":
+            from speechbrain_tpu.nnet.attention import rel_pos_encoding
+
+            pos_embs = rel_pos_encoding(Tk, self.d_model, y.dtype)
+        y, _ = self.attn(y, y, y, key_padding_mask=kpm, pos_embs=pos_embs)
+        full = full + y
+        x = full[:, -T:, :]
+
+        # convolution with carried left frames (zeros at stream start)
+        conv_in = jnp.concatenate([context["conv_cache"], x], axis=1)
+        new_conv_cache = conv_in[:, -half:, :] if half > 0 else context["conv_cache"]
+        y = self.conv(conv_in)
+        x = x + y[:, -T:, :]
+
+        x = x + 0.5 * self.ffn2(self.norm_ff2(x))
+        x = self.norm_out(x)
+        new_context = {
+            "mha_cache": new_mha_cache,
+            "mha_len": new_mha_len,
+            "conv_cache": new_conv_cache,
+            "conv_len": jnp.minimum(context["conv_len"] + T, half),
+        }
+        return x, new_context
+
+    @staticmethod
+    def make_layer_streaming_context(batch, d_model, kernel_size,
+                                     left_context_size, dtype=jnp.float32):
+        half = (kernel_size - 1) // 2
+        return {
+            "mha_cache": jnp.zeros((batch, left_context_size, d_model), dtype),
+            "mha_len": jnp.zeros((), jnp.int32),
+            "conv_cache": jnp.zeros((batch, half, d_model), dtype),
+            "conv_len": jnp.zeros((), jnp.int32),
+        }
 
 
 class ConformerEncoder(nn.Module):
@@ -225,13 +293,9 @@ class ConformerEncoder(nn.Module):
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
 
-    @nn.compact
-    def __call__(self, src, src_mask=None, src_key_padding_mask=None,
-                 pos_embs=None, dynchunktrain_config=None, train=False):
-        output = src
-        attns = []
-        for i in range(self.num_layers):
-            output, attn = ConformerEncoderLayer(
+    def setup(self):
+        self.layers = [
+            ConformerEncoderLayer(
                 d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
@@ -242,7 +306,16 @@ class ConformerEncoder(nn.Module):
                 causal=self.causal,
                 attention_type=self.attention_type,
                 name=f"layer_{i}",
-            )(
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(self, src, src_mask=None, src_key_padding_mask=None,
+                 pos_embs=None, dynchunktrain_config=None, train=False):
+        output = src
+        attns = []
+        for layer in self.layers:
+            output, attn = layer(
                 output, src_mask, src_key_padding_mask, pos_embs,
                 dynchunktrain_config, train,
             )
@@ -250,17 +323,30 @@ class ConformerEncoder(nn.Module):
         return output, attns
 
     # -- streaming ----------------------------------------------------------
-    @staticmethod
-    def make_streaming_context(dynchunktrain_config, num_layers, left_context_size):
-        return ConformerEncoderStreamingContext(
-            dynchunktrain_config=dynchunktrain_config,
-            layers=[
-                ConformerEncoderLayerStreamingContext(
-                    mha_left_context_size=left_context_size
+    def forward_streaming(self, src, context, pos_embs=None):
+        """One chunk through the whole encoder; returns (out, new_context).
+        ``context`` is {"layers": [per-layer dicts]}
+        (reference Conformer.py:780)."""
+        output = src
+        new_layers = []
+        for i, layer in enumerate(self.layers):
+            output, layer_ctx = layer.forward_streaming(
+                output, context["layers"][i], pos_embs
+            )
+            new_layers.append(layer_ctx)
+        return output, {"layers": new_layers}
+
+    def make_streaming_context(self, batch, left_context_size, dtype=jnp.float32):
+        """Blank streaming state (reference Conformer.py:827), functional."""
+        return {
+            "layers": [
+                ConformerEncoderLayer.make_layer_streaming_context(
+                    batch, self.d_model, self.kernel_size, left_context_size,
+                    dtype,
                 )
-                for _ in range(num_layers)
-            ],
-        )
+                for _ in range(self.num_layers)
+            ]
+        }
 
 
 class ConformerDecoder(nn.Module):

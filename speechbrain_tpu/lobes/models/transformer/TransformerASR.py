@@ -181,6 +181,38 @@ class TransformerASR(nn.Module):
         )
         return enc_out
 
+    def make_streaming_context(self, batch, dynchunktrain_config, dtype=jnp.float32):
+        """Blank streaming state for encode_streaming
+        (reference TransformerASR.py:645): per-layer MHA left context of
+        ``left_context_size * chunk_size`` frames + conv caches.
+
+        Uses only static config, so it is callable on the unbound module.
+        """
+        from speechbrain_tpu.lobes.models.transformer.Conformer import (
+            ConformerEncoderLayer,
+        )
+
+        left = dynchunktrain_config.left_context_size_frames() or 0
+        return {
+            "encoder": {
+                "layers": [
+                    ConformerEncoderLayer.make_layer_streaming_context(
+                        batch, self.d_model, self.kernel_size, left, dtype
+                    )
+                    for _ in range(self.num_encoder_layers)
+                ]
+            }
+        }
+
+    def encode_streaming(self, src, context):
+        """Encode one chunk with carried state; returns (enc, new_context)
+        (reference TransformerASR.py:546). Conformer encoders only."""
+        src, pos_embs = self._embed_src(src)
+        enc_out, enc_ctx = self.encoder.forward_streaming(
+            src, context["encoder"], pos_embs=None
+        )
+        return enc_out, {**context, "encoder": enc_ctx}
+
     def decode(self, tgt, encoder_out, enc_len=None, train=False):
         """Decoder half for beam search (reference :475): returns
         (decoder_out, cross_attn of last layer)."""

@@ -160,3 +160,33 @@ def test_rnnlm_incremental_matches_full():
         outs.append(step)
     inc = jnp.concatenate(outs, axis=1)
     assert np.allclose(np.asarray(full), np.asarray(inc), atol=1e-4)
+
+
+def test_conformer_streaming_equals_offline_chunked():
+    """Streamed chunked inference must reproduce the offline forward with
+    the corresponding chunked attention mask + DCConv (the reference's
+    test_streaming.py strategy)."""
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import TransformerASR
+    from speechbrain_tpu.utils.dynamic_chunk_training import DynChunkTrainConfig
+
+    C, L = 4, 2  # chunk size, left context chunks
+    net = TransformerASR(
+        tgt_vocab=20, input_size=12, d_model=16, nhead=4,
+        num_encoder_layers=2, num_decoder_layers=0, d_ffn=32,
+        encoder_module="conformer", attention_type="RelPosMHAXL",
+        kernel_size=5,
+    )
+    src = jax.random.normal(KEY, (1, 16, 12))
+    cfg = DynChunkTrainConfig(chunk_size=C, left_context_size=L)
+    v = net.init(KEY, src, None, dynchunktrain_config=cfg)
+    offline = net.apply(v, src, dynchunktrain_config=cfg, method="encode")
+
+    ctx = net.make_streaming_context(1, cfg)
+    outs = []
+    for i in range(4):
+        chunk = src[:, i * C : (i + 1) * C]
+        out, ctx = net.apply(v, chunk, ctx, method="encode_streaming")
+        outs.append(out)
+    streamed = jnp.concatenate(outs, axis=1)
+    err = float(jnp.abs(offline - streamed).max())
+    assert err < 2e-4, err
