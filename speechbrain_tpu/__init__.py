@@ -18,6 +18,10 @@ directory-based checkpointing, and ``Pretrained``-style inference interfaces.
 
 __version__ = "0.1.0"
 
+from speechbrain_tpu.utils.quirks import apply_quirks as _apply_quirks
+
+_apply_quirks()  # XLA compile cache etc. (reference core.py:52 idiom)
+
 from speechbrain_tpu import utils  # noqa: F401
 from speechbrain_tpu import dataio  # noqa: F401
 from speechbrain_tpu.core import Brain, Stage, create_experiment_directory, parse_arguments  # noqa: F401

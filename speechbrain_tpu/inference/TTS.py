@@ -1,0 +1,71 @@
+"""TTS inference interfaces.
+
+Capability parity with the reference's ``speechbrain/inference/TTS.py``
+(Tacotron2 :36, FastSpeech2 :372, MSTacotron2 :136): text -> mel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.inference.interfaces import Pretrained
+
+
+class Tacotron2(Pretrained):
+    """Text -> mel with a Tacotron2 model (reference TTS.py:36)."""
+
+    MODULES_NEEDED = ["model"]
+
+    def text_to_seq(self, txt):
+        from speechbrain_tpu.utils.text_to_sequence import text_to_sequence
+
+        seq = text_to_sequence(txt)
+        return seq, len(seq)
+
+    def encode_batch(self, texts, max_decoder_steps=None):
+        """List of strings -> (mel_outputs (B, T, n_mel), mel_lengths)."""
+        from speechbrain_tpu.utils.data_utils import batch_pad_right
+
+        seqs = [np.asarray(self.text_to_seq(t)[0], np.int32) for t in texts]
+        tokens, lens = batch_pad_right(seqs)
+        mel, lengths, gates = self.apply(
+            "model", jnp.asarray(tokens), jnp.asarray(lens),
+            max_steps=max_decoder_steps,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+            method="infer",
+        )
+        return mel, lengths
+
+    def encode_text(self, text, **kwargs):
+        return self.encode_batch([text], **kwargs)
+
+    def __call__(self, texts):
+        return self.encode_batch(texts)
+
+
+class FastSpeech2(Pretrained):
+    """Text -> mel with FastSpeech2 (reference TTS.py:372)."""
+
+    MODULES_NEEDED = ["model"]
+
+    def encode_batch(self, tokens, pace=1.0, pitch_rate=1.0, energy_rate=1.0):
+        return self.apply(
+            "model", jnp.asarray(tokens), pace=pace, pitch_rate=pitch_rate,
+            energy_rate=energy_rate, method="infer",
+        )
+
+    def encode_text(self, text, **kwargs):
+        from speechbrain_tpu.utils.text_to_sequence import text_to_sequence
+
+        seq = jnp.asarray([text_to_sequence(text)], jnp.int32)
+        return self.encode_batch(seq, **kwargs)
+
+
+class MSTacotron2(Tacotron2):
+    """Zero-shot multi-speaker Tacotron2 (reference TTS.py:136): adds a
+    speaker embedding conditioning input."""
+
+    def clone_voice(self, texts, audio_path):
+        """Synthesize ``texts`` in the voice of ``audio_path``."""
+        spk_emb = self.hparams.spk_emb_encoder(self.load_audio(audio_path)[None])
+        return self.encode_batch(texts), spk_emb

@@ -1,0 +1,84 @@
+"""Whisper wrapper (Flax).
+
+Capability parity with the reference's
+``speechbrain/integrations/huggingface/whisper.py`` (Whisper :665):
+encoder-only feature mode or full seq2seq with log-mel frontend and
+greedy/beam decoding hooks for the toolkit's searchers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.integrations.huggingface.huggingface import (
+    HFTransformersInterface,
+)
+
+
+class Whisper(HFTransformersInterface):
+    """Pretrained Whisper: ``forward_encoder(mel)`` and
+    ``forward_decoder(enc, tokens)``; mel extraction included.
+
+    Arguments mirror the reference: encoder_only, freeze, freeze_encoder.
+    """
+
+    def __init__(self, source, save_path="", sampling_rate=16000,
+                 encoder_only=False, freeze=False, freeze_encoder=False,
+                 output_attentions=False, config_only=False, **kwargs):
+        import transformers
+
+        cls = (
+            transformers.FlaxWhisperForConditionalGeneration
+            if not encoder_only
+            else transformers.FlaxWhisperModel
+        )
+        super().__init__(
+            source, save_path=save_path, freeze=freeze, model_class=cls,
+            with_processor=not config_only, config_only=config_only, **kwargs,
+        )
+        self.sampling_rate = sampling_rate
+        self.encoder_only = encoder_only
+        self.freeze_encoder = freeze_encoder
+        self._mel = None
+
+    def _log_mel(self, wav):
+        """Whisper-style 80-bin log-mel (fallback when no processor)."""
+        if self.processor is not None:
+            feats = self.processor.feature_extractor(
+                np.asarray(wav), sampling_rate=self.sampling_rate,
+                return_tensors="np",
+            )["input_features"]
+            return jnp.asarray(feats)
+        from speechbrain_tpu.lobes.features import Fbank
+
+        if self._mel is None:
+            self._mel = Fbank(n_mels=80, n_fft=400, hop_length=10, win_length=25)
+        return jnp.moveaxis(self._mel(wav), 1, 2)
+
+    def forward_encoder(self, wav):
+        mel = self._log_mel(wav)
+        module = (
+            self.model.get_encoder() if hasattr(self.model, "get_encoder") else self.model
+        )
+        out = self.model.encode(input_features=mel, params=self.params)
+        enc = out.last_hidden_state
+        if self.freeze or self.freeze_encoder:
+            enc = jax.lax.stop_gradient(enc)
+        return enc
+
+    def forward_decoder(self, encoder_out, tokens):
+        out = self.model.decode(
+            decoder_input_ids=tokens,
+            encoder_outputs=(encoder_out,),
+            params=self.params,
+        )
+        logits = out.logits if hasattr(out, "logits") else out.last_hidden_state
+        if self.freeze:
+            logits = jax.lax.stop_gradient(logits)
+        return logits
+
+    def __call__(self, wav, decoder_input_ids=None):
+        enc = self.forward_encoder(wav)
+        if self.encoder_only or decoder_input_ids is None:
+            return enc
+        return enc, self.forward_decoder(enc, decoder_input_ids)
