@@ -67,8 +67,10 @@ def do_spec_clustering(embeddings, n_speakers=None, pval=0.3, max_speakers=10,
     if n_speakers is None:
         n_speakers = estimate_num_speakers(A, max_speakers)
     emb = spectral_embedding(A, n_speakers)
-    _, labels = kmeans_fit(emb, n_speakers, rng=rng or np.random.default_rng(0))
-    return labels.tolist()
+    if rng is None:
+        rng = np.random.default_rng(0)
+    _, labels = kmeans_fit(emb, n_speakers, rng=rng)
+    return np.asarray(labels).tolist()
 
 
 def merge_ssegs_same_speaker(segments):

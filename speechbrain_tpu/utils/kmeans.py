@@ -21,10 +21,16 @@ def kmeans_fit(x, n_clusters, n_iters=50, rng=None):
     >>> len(set(assign[:10].tolist())), len(set(assign[10:].tolist()))
     (1, 1)
     """
-    rng = rng or np.random.default_rng(0)
+    if rng is None:
+        rng = np.random.default_rng(0)
     x = jnp.asarray(x, jnp.float32)
     N = x.shape[0]
-    init_idx = rng.choice(N, size=n_clusters, replace=False)
+    if isinstance(rng, jnp.ndarray):  # a jax PRNGKey
+        init_idx = np.asarray(
+            jax.random.choice(rng, N, (n_clusters,), replace=False)
+        )
+    else:
+        init_idx = rng.choice(N, size=n_clusters, replace=False)
     centroids = x[jnp.asarray(init_idx)]
 
     @jax.jit
@@ -45,8 +51,12 @@ def kmeans_fit(x, n_clusters, n_iters=50, rng=None):
 
 
 def kmeans_predict(x, centroids):
-    """Nearest-centroid assignment."""
+    """Nearest-centroid assignment (jit-safe; one matmul on the MXU)."""
     x = jnp.asarray(x)
     c = jnp.asarray(centroids)
-    d = jnp.sum((x[:, None, :] - c[None]) ** 2, axis=-1)
-    return np.asarray(jnp.argmin(d, axis=-1))
+    d = (
+        jnp.sum(x**2, -1, keepdims=True)
+        - 2 * x @ c.T
+        + jnp.sum(c**2, -1)[None]
+    )
+    return jnp.argmin(d, axis=-1)
