@@ -110,6 +110,83 @@ class GeneratorDynamicItem(DynamicItem):
         self.num_provided_items = 0
 
 
+class CachedDynamicItem(DynamicItem):
+    """Caches a transform's result on disk, keyed by the item "id"
+    (reference data_pipeline.py:215).
+
+    The first key in ``takes`` must be "id"; each result is pickled to
+    ``cache_location/<id>.pkl`` (numpy arrays pickle natively — no torch
+    serialization needed on this stack).
+
+    Example
+    -------
+    >>> import os, tempfile
+    >>> tempdir = tempfile.mkdtemp()
+    >>> @CachedDynamicItem.cache(tempdir)
+    ... @takes("id", "text")
+    ... @provides("tokenized")
+    ... def tokenize(id, text):
+    ...     return text.strip().lower().split()
+    >>> tokenize("utt1", " Some Text")
+    ['some', 'text']
+    >>> sorted(os.listdir(tempdir))
+    ['utt1.pkl']
+    >>> tokenize("utt1", "different input, cached result")
+    ['some', 'text']
+    """
+
+    def __init__(self, cache_location, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not self.takes:
+            raise ValueError("'takes' must have at least one key")
+        if self.takes[0] != "id":
+            raise ValueError("First key in 'takes' must be 'id'")
+        import pathlib
+
+        self.cache_location = pathlib.Path(cache_location)
+        self.cache_location.mkdir(parents=True, exist_ok=True)
+
+    def __call__(self, *args):
+        uid = args[0]
+        if self._is_cached(uid):
+            return self._load(uid)
+        result = self.func(*args)
+        self._cache(result, uid)
+        return result
+
+    def _uid2path(self, uid):
+        return self.cache_location / (str(uid) + ".pkl")
+
+    def _is_cached(self, uid):
+        return self._uid2path(uid).exists()
+
+    def _load(self, uid):
+        import pickle
+
+        with open(self._uid2path(uid), "rb") as f:
+            return pickle.load(f)
+
+    def _cache(self, result, uid):
+        import pickle
+
+        with open(self._uid2path(uid), "wb") as f:
+            pickle.dump(result, f)
+
+    @classmethod
+    def cache(cls, save_dir):
+        """Decorator turning a DynamicItem into a cached one."""
+
+        def decorator(obj):
+            if not isinstance(obj, DynamicItem):
+                raise ValueError("Can only cache a DynamicItem")
+            return cls(
+                save_dir, takes=obj.takes, func=obj.func,
+                provides=obj.provides,
+            )
+
+        return decorator
+
+
 def takes(*argkeys):
     """Decorator declaring the input keys of a dynamic item."""
 
