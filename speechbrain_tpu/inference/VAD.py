@@ -29,7 +29,7 @@ class VAD(Pretrained):
         if hasattr(self.hparams, "mean_var_norm") and self.hparams.mean_var_norm:
             lens = wav_lens if wav_lens is not None else jnp.ones(wavs.shape[0])
             feats = self.hparams.mean_var_norm(feats, lens)
-        out = self.apply("model", feats, train=False)
+        out = self.apply("model", feats)
         if out.shape[-1] == 1:
             import jax
 
