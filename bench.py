@@ -77,10 +77,12 @@ def bench_torch_reference():
     return BATCH * SECONDS / dt
 
 
-def bench_asr(batch=16, seconds=10.0):
+def bench_asr(batch=16, seconds=10.0, bf16=False):
     """Full ASR inference pipeline: fbank -> Conformer encoder -> CTC
     greedy argmax, on-device. Returns audio-seconds processed per second
-    (the 'transcribe_batch' throughput north star; RTF = 1/value*batch)."""
+    (the 'transcribe_batch' throughput north star; RTF = 1/value*batch).
+    With ``bf16`` the encoder params + activations run in bfloat16 (the
+    MXU-native dtype); the frontend and argmax stay fp32."""
     import jax
     import jax.numpy as jnp
 
@@ -106,10 +108,18 @@ def bench_asr(batch=16, seconds=10.0):
     v = net.init(rng, feats, None)
     enc0 = net.apply(v, feats, method="encode")
     v_lin = lin.init(rng, enc0)
+    if bf16:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t,
+        )
+        v, v_lin = cast(v), cast(v_lin)
 
     @jax.jit
     def pipeline(wavs, lens):
         feats = fbank(wavs)
+        if bf16:
+            feats = feats.astype(jnp.bfloat16)
         enc = net.apply(v, feats, wav_len=lens, method="encode")
         logits = lin.apply(v_lin, enc)
         return jnp.argmax(logits, axis=-1)
@@ -129,11 +139,13 @@ def main():
     import sys
 
     if "--asr" in sys.argv:
-        value = bench_asr()
+        bf16 = "--bf16" in sys.argv
+        value = bench_asr(bf16=bf16)
         print(
             json.dumps(
                 {
-                    "metric": "conformer_asr_encode_throughput",
+                    "metric": "conformer_asr_encode_throughput"
+                    + ("_bf16" if bf16 else ""),
                     "value": round(value, 1),
                     "unit": "audio_seconds_per_second",
                     "vs_baseline": None,

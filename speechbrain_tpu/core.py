@@ -128,6 +128,14 @@ def parse_arguments(arg_list=None):
             run_opts[key] = parsed
         else:
             overrides[key] = parsed
+    # Apply the platform choice BEFORE any yaml-constructed module touches
+    # jax (e.g. STFT precomputing DFT matrices): on this platform the
+    # JAX_PLATFORMS env var is ignored, only jax.config works, and the
+    # first backend touch locks the platform for the process.
+    if run_opts.get("device") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return known.param_file, run_opts, overrides
 
 
@@ -926,6 +934,7 @@ def optax_global_norm(tree):
 
 
 def apply_updates(params, updates):
+    """Apply optax updates to params (thin alias used by tests/recipes)."""
     import optax
 
     return optax.apply_updates(params, updates)

@@ -255,10 +255,12 @@ clean_padding = clean_padding_  # pure-functional: both names do the same
 # ---------------------------------------------------------------------------
 
 def to_float_array(x):
+    """Convert to a float32 jax array."""
     return np.asarray(x, dtype=np.float32)
 
 
 def to_long_array(x):
+    """Convert to an int32 jax array."""
     return np.asarray(x, dtype=np.int32)
 
 

@@ -7,6 +7,7 @@ fused Pallas kernel (``speechbrain_tpu.ops.mel_frontend``) — set
 ``fused=True`` — with jnp fallback for CPU tests.
 """
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 from speechbrain_tpu.processing.features import (
@@ -179,6 +180,63 @@ def upalign_value(x, to):
     if x % to == 0:
         return x
     return x + to - (x % to)
+
+
+class Leaf(nn.Module):
+    """LEAF learnable audio frontend (Zeghidour et al., ICLR 2021;
+    reference lobes/features.py:316): learnable Gabor filterbank ->
+    squared modulus -> learnable Gaussian lowpass pooling -> PCEN.
+
+    Input (B, T) or (B, T, 1); output (B, T', out_channels).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> leaf = Leaf(out_channels=8, window_len=25.0, window_stride=10.0)
+    >>> x = jnp.ones((2, 8000))
+    >>> v = leaf.init(jax.random.PRNGKey(0), x)
+    >>> leaf.apply(v, x).shape
+    (2, 50, 8)
+    """
+
+    out_channels: int = 40
+    window_len: float = 25.0
+    window_stride: float = 10.0
+    sample_rate: int = 16000
+    min_freq: float = 60.0
+    max_freq: float = None
+    use_pcen: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from speechbrain_tpu.nnet.CNN import GaborConv1d
+        from speechbrain_tpu.nnet.normalization import PCEN
+        from speechbrain_tpu.nnet.pooling import GaussianLowpassPooling
+
+        if x.ndim == 2:
+            x = x[..., None]
+        window_size = int(self.sample_rate * self.window_len / 1000) + 1
+        window_stride = int(self.sample_rate * self.window_stride / 1000)
+        out = GaborConv1d(
+            out_channels=2 * self.out_channels,
+            kernel_size=window_size,
+            stride=1,
+            sample_rate=self.sample_rate,
+            min_freq=self.min_freq,
+            max_freq=self.max_freq,
+            name="complex_conv",
+        )(x)
+        # squared modulus: sum of squared real/imag pairs
+        B, T, _ = out.shape
+        out = out.reshape(B, T, self.out_channels, 2)
+        out = jnp.sum(out**2, axis=-1)
+        out = GaussianLowpassPooling(
+            kernel_size=window_size, stride=window_stride, name="pooling"
+        )(out)
+        out = jnp.maximum(out, 1e-5)
+        if self.use_pcen:
+            out = PCEN(name="compression")(out)
+        return out
 
 
 class StreamingFeatureWrapper:

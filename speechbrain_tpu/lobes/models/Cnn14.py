@@ -15,6 +15,7 @@ from speechbrain_tpu.nnet.pooling import Pooling2d
 
 
 class ConvBlock(nn.Module):
+    """Two 3x3 convs + BN + pooling (CNN14 building block)."""
     out_channels: int
 
     @nn.compact

@@ -14,6 +14,7 @@ from speechbrain_tpu.nnet.normalization import LayerNorm
 
 
 class GatedBlock(nn.Module):
+    """Linear block with multiplicative gating."""
     hidden: int
     dropout: float = 0.0
 

@@ -73,6 +73,7 @@ def swish(x, beta=1.0):
 
 
 class Swish(nn.Module):
+    """Swish activation module (x * sigmoid(beta x))."""
     beta: float = 1.0
 
     @nn.compact

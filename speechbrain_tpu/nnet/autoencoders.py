@@ -16,12 +16,14 @@ import jax.numpy as jnp
 
 @dataclass
 class AutoencoderOutput:
+    """Output bundle: rec + latent."""
     rec: Any
     latent: Any
 
 
 @dataclass
 class VariationalAutoencoderOutput:
+    """Output bundle: rec, mean, log_var, latent, latent_sample."""
     rec: Any
     mean: Any
     log_var: Any

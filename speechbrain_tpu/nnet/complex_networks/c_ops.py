@@ -10,6 +10,7 @@ import numpy as np
 
 
 def check_complex_input(x):
+    """Validate that the trailing dim splits into (real, imag) halves."""
     if x.shape[-1] % 2 != 0:
         raise ValueError(
             f"Complex tensors need an even feature dim, got {x.shape[-1]}"

@@ -16,6 +16,7 @@ import numpy as np
 
 
 def linear_beta_schedule(timesteps, beta_start=0.0001, beta_end=0.02):
+    """Linear beta noise schedule over ``timesteps``."""
     return np.linspace(beta_start, beta_end, timesteps, dtype=np.float32)
 
 

@@ -10,6 +10,7 @@ import numpy as np
 
 
 def check_quaternion_input(x):
+    """Validate that the trailing dim splits into 4 quaternion parts."""
     if x.shape[-1] % 4 != 0:
         raise ValueError(
             f"Quaternion tensors need feature dim divisible by 4, got {x.shape[-1]}"

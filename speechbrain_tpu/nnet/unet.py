@@ -69,12 +69,16 @@ class AttentionBlock2d(nn.Module):
 
 
 class Downsample(nn.Module):
+    """Strided-conv 2x spatial downsampling."""
+
     @nn.compact
     def __call__(self, x):
         return Conv2d(x.shape[-1], (3, 3), stride=(2, 2), name="op")(x)
 
 
 class Upsample(nn.Module):
+    """Nearest-neighbour 2x upsampling + conv."""
+
     @nn.compact
     def __call__(self, x):
         B, T, F, C = x.shape

@@ -33,6 +33,7 @@ def _jax():
 
 
 def rank():
+    """Global process index (0 on single host)."""
     try:
         return _jax().process_index()
     except Exception:
@@ -40,6 +41,7 @@ def rank():
 
 
 def world_size():
+    """Number of processes in the job (1 on single host)."""
     try:
         return _jax().process_count()
     except Exception:

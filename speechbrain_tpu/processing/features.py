@@ -49,11 +49,13 @@ def hamming_window(n, dtype=np.float32):
 
 
 def hann_window(n, dtype=np.float32):
+    """Periodic Hann window of given length."""
     k = np.arange(n)
     return (0.5 - 0.5 * np.cos(2 * np.pi * k / n)).astype(dtype)
 
 
 def blackman_window(n, dtype=np.float32):
+    """Periodic Blackman window of given length."""
     k = np.arange(n)
     w = (
         0.42
@@ -604,6 +606,15 @@ class InputNormalization:
                 )
             return jnp.stack(out)
         # global
+        import jax as _jax
+
+        if isinstance(x, _jax.core.Tracer):
+            raise RuntimeError(
+                "InputNormalization(norm_type='global') keeps host-side "
+                "running statistics and cannot run inside a jitted train "
+                "step. Use norm_type='sentence' (pure), or pre-compute "
+                "global stats and call .normalize(x) inside jit."
+            )
         updating = epoch is None or epoch < self.update_until_epoch
         if updating:
             bmean = np.asarray(jnp.mean(mean, axis=0))

@@ -247,6 +247,7 @@ def masked_std(x, mask=None, axis=None, keepdims=False, eps=1e-12):
 
 
 def masked_min(x, mask=None, axis=None, keepdims=False):
+    """Minimum over unmasked elements."""
     import jax.numpy as jnp
 
     if mask is None:
@@ -256,6 +257,7 @@ def masked_min(x, mask=None, axis=None, keepdims=False):
 
 
 def masked_max(x, mask=None, axis=None, keepdims=False):
+    """Maximum over unmasked elements."""
     import jax.numpy as jnp
 
     if mask is None:

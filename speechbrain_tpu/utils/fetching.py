@@ -51,6 +51,7 @@ def guess_source(source):
 
 
 def link_with_strategy(src, dst, local_strategy):
+    """Materialize ``src`` at ``dst`` per the LocalStrategy (symlink/copy/no-link)."""
     src = pathlib.Path(src).absolute()
     dst = pathlib.Path(dst).absolute()
     if src == dst:

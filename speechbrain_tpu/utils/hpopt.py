@@ -60,6 +60,7 @@ class GenericHyperparameterOptimizationReporter:
 
 @hpopt_mode("generic")
 class GenericReporter(GenericHyperparameterOptimizationReporter):
+    """Default reporter: logs the objective to the output file."""
     pass
 
 
@@ -143,6 +144,7 @@ def report_result(result):
 
 
 def get_trial_id():
+    """Current hyperparameter-search trial id (or a default)."""
     if _current_context is not None and _current_context.reporter:
         return _current_context.reporter.trial_id
     return DEFAULT_TRIAL_ID

@@ -42,6 +42,7 @@ class _TagNode:
 
 
 class NewTag(_TagNode):
+    """!new: instantiate a class with args/kwargs."""
     def __init__(self, target, args, kwargs):
         self.target = target
         self.args = args
@@ -49,6 +50,7 @@ class NewTag(_TagNode):
 
 
 class NameTag(_TagNode):
+    """!name: partial-apply a callable."""
     def __init__(self, target, args, kwargs):
         self.target = target
         self.args = args
@@ -56,6 +58,7 @@ class NameTag(_TagNode):
 
 
 class ApplyTag(_TagNode):
+    """!apply: call a callable immediately."""
     def __init__(self, target, args, kwargs):
         self.target = target
         self.args = args
@@ -63,22 +66,26 @@ class ApplyTag(_TagNode):
 
 
 class ModuleTag(_TagNode):
+    """!module: import a module by dotted path."""
     def __init__(self, target):
         self.target = target
 
 
 class RefTag(_TagNode):
+    """!ref: reference another yaml node (with arithmetic)."""
     def __init__(self, expression, do_copy=False):
         self.expression = expression
         self.do_copy = do_copy
 
 
 class TupleTag(_TagNode):
+    """!tuple: build a python tuple."""
     def __init__(self, text):
         self.text = text
 
 
 class Placeholder(_TagNode):
+    """!PLACEHOLDER: must be overridden before load."""
     pass
 
 

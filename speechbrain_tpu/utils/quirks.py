@@ -70,6 +70,7 @@ def apply_quirks():
 
 
 def log_applied_quirks():
+    """Log which platform quirks were applied at import."""
     logger.info(
         "Applied quirks (SB_TPU_DISABLE_QUIRKS=%s): %s",
         ",".join(sorted(excluded_quirks)),

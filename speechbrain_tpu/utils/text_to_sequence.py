@@ -70,16 +70,19 @@ def expand_numbers(text):
 
 
 def expand_abbreviations(text):
+    """Expand common English abbreviations (mrs. -> misess, ...)."""
     for pattern, replacement in _abbreviations:
         text = pattern.sub(replacement, text)
     return text
 
 
 def lowercase(text):
+    """Lowercase the text."""
     return text.lower()
 
 
 def collapse_whitespace(text):
+    """Collapse whitespace runs into single spaces."""
     return _whitespace_re.sub(" ", text)
 
 
@@ -89,6 +92,7 @@ def basic_cleaners(text):
 
 
 def transliteration_cleaners(text):
+    """Pipeline for non-English text: lowercase + whitespace collapse."""
     return basic_cleaners(text)
 
 
