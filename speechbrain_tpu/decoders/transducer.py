@@ -81,16 +81,37 @@ class TransducerBeamSearcher:
         return self.transducer_beam_search_decode(tn_output)
 
     # -- greedy (jitted, batched) ------------------------------------------
-    def transducer_greedy_decode(self, tn_output, hidden_state=None):
+    def transducer_greedy_decode(self, tn_output, hidden_state=None,
+                                 return_hidden=False):
+        """Batched greedy decode; pass ``hidden_state=(last_token,
+        hidden)`` (from a previous chunk) and ``return_hidden=True`` for
+        streaming chunk-wise decoding (reference
+        transducer_greedy_decode:91)."""
         B, T, H = tn_output.shape
-        tokens, _hidden = self._greedy_jit(tn_output, B)
+        tokens, carry = self._greedy_jit(tn_output, B, hidden_state)
         tokens = np.asarray(tokens)
         hyps = [
             [int(t) for t in row if t != self.blank_id] for row in tokens
         ]
+        if return_hidden:
+            return hyps, None, None, None, carry
         return hyps, None, None, None
 
-    def _greedy_jit(self, tn_output, B):
+    def transducer_greedy_decode_streaming(self, x, context):
+        """One chunk of streaming greedy decode against a
+        :class:`TransducerGreedySearcherStreamingContext` (reference
+        transducer.py:~160)."""
+        init = None
+        if context.hidden is not None:
+            init = (context.last_token, context.hidden)
+        hyps, _, _, _, (last_tok, hidden) = self.transducer_greedy_decode(
+            x, hidden_state=init, return_hidden=True
+        )
+        context.hidden = hidden
+        context.last_token = last_tok
+        return hyps
+
+    def _greedy_jit(self, tn_output, B, init_carry=None):
         blank = self.blank_id
         max_sym = self.max_symbols_per_step
         T = tn_output.shape[1]
@@ -134,18 +155,22 @@ class TransducerBeamSearcher:
             last_tok, hidden, out_buf, out_pos, _ = inner
             return (last_tok, hidden, out_buf, out_pos), None
 
-        max_out = T * 2
+        # every frame may emit up to max_symbols_per_step labels
+        max_out = T * max_sym
         out_buf = jnp.full((B, max_out), blank, jnp.int32)
         out_pos = jnp.zeros((B,), jnp.int32)
-        last_tok = jnp.full((B,), blank, jnp.int32)
-        pn_out, hidden0 = self.pred_step(last_tok[:, None], None)
-        # reset to a fresh hidden filled with zeros (pred_step built shape)
-        hidden0 = jax.tree_util.tree_map(jnp.zeros_like, hidden0)
+        if init_carry is not None:
+            last_tok, hidden0 = init_carry
+        else:
+            last_tok = jnp.full((B,), blank, jnp.int32)
+            pn_out, hidden0 = self.pred_step(last_tok[:, None], None)
+            # fresh zero hidden (pred_step only provided the shape)
+            hidden0 = jax.tree_util.tree_map(jnp.zeros_like, hidden0)
         carry = (last_tok, hidden0, out_buf, out_pos)
         (last_tok, hidden, out_buf, out_pos), _ = jax.lax.scan(
             frame_step, carry, jnp.arange(T)
         )
-        return out_buf, hidden
+        return out_buf, (last_tok, hidden)
 
     # -- beam (host loop, jitted steps) -------------------------------------
     def transducer_beam_search_decode(self, tn_output):
