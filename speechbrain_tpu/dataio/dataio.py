@@ -144,6 +144,17 @@ def read_audio(waveforms_obj):
         start = int(waveforms_obj.get("start", 0))
         stop = waveforms_obj.get("stop", None)
         stop = int(stop) if stop is not None else None
+    if str(path).lower().endswith(".wav"):
+        # native C++ decoder: decodes + downmixes without the GIL, so
+        # dataloader prefetch threads run in parallel
+        from speechbrain_tpu.io import native_available, read_wav_mono
+
+        if native_available():
+            try:
+                data, _sr = read_wav_mono(path, start, stop)
+                return data
+            except OSError:
+                pass  # odd container; fall through to python readers
     try:
         data, _sr = _load_soundfile(path, start, stop)
     except ImportError:
