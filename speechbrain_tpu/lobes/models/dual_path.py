@@ -191,6 +191,11 @@ class DualPathModel(nn.Module):
 
     def _segment(self, x, K):
         """(B, T, N) -> (B, K, S, N) with 50% overlap segmentation."""
+        if K % 2:
+            raise ValueError(
+                f"chunk size K must be even for 50%-overlap segmentation, "
+                f"got {K}"
+            )
         B, T, N = x.shape
         P = K // 2
         gap = K - (P + T % K) % K

@@ -34,17 +34,40 @@ from speechbrain_tpu.utils.logger import get_logger
 logger = get_logger(__name__)
 
 
+def _find_injected(state):
+    """Depth-first search for an inject_hyperparams state with a
+    'learning_rate' entry, through wrappers (MultiSteps, chains, ...)."""
+    hp = getattr(state, "hyperparams", None)
+    if isinstance(hp, dict) and "learning_rate" in hp:
+        return state
+    children = ()
+    if isinstance(state, (tuple, list)):
+        children = state
+    elif hasattr(state, "_fields"):  # NamedTuple states
+        children = tuple(getattr(state, f) for f in state._fields)
+    elif isinstance(state, dict):
+        children = tuple(state.values())
+    for child in children:
+        found = _find_injected(child)
+        if found is not None:
+            return found
+    return None
+
+
 def update_learning_rate(optimizer_state, new_lr):
-    """Set the learning rate inside an optax.inject_hyperparams state
-    (the jax analogue of reference update_learning_rate :24)."""
-    try:
-        optimizer_state.hyperparams["learning_rate"] = new_lr
-        return optimizer_state
-    except (AttributeError, KeyError):
+    """Set the learning rate inside an optax.inject_hyperparams state,
+    however deeply it is wrapped (MultiSteps, multi_transform, chains) —
+    the jax analogue of reference update_learning_rate :24. Mutates the
+    hyperparams dict in place and returns the state."""
+    target = _find_injected(optimizer_state)
+    if target is None:
         raise ValueError(
             "Optimizer state has no injected 'learning_rate'; build the "
-            "optimizer with optax.inject_hyperparams(optax.adam)(learning_rate=...)"
+            "optimizer with optax.inject_hyperparams(optax.adam)"
+            "(learning_rate=...)"
         )
+    target.hyperparams["learning_rate"] = new_lr
+    return optimizer_state
 
 
 def _save_attrs(obj, path, attrs):

@@ -355,6 +355,8 @@ def resolve_yaml(yaml_string, overrides=None):
             continue  # nested overrides are recorded as a trailer
         pattern = re.compile(rf"^{re.escape(key)}\s*:")
         for i, line in enumerate(lines):
+            if line is None:  # removed block line from a prior override
+                continue
             if pattern.match(line):
                 # replace scalar value; block values are replaced wholesale
                 indent_next = i + 1

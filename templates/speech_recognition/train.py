@@ -136,7 +136,7 @@ if __name__ == "__main__":
         datasets["train"],
         datasets["valid"],
         train_loader_kwargs={"batch_size": hparams["batch_size"],
-                             "shuffle": True, "pad_to_multiple": 4096},
+                             "shuffle": True, "pad_to_multiple": {"sig": 4096}},
         valid_loader_kwargs={"batch_size": hparams["batch_size"],
-                             "pad_to_multiple": 4096},
+                             "pad_to_multiple": {"sig": 4096}},
     )
