@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""LJSpeech Tacotron2 training (the reference's
+recipes/LJSpeech/TTS/tacotron2/train.py, re-expressed for
+speechbrain_tpu): teacher-forced mel regression + gate BCE + guided
+attention, over text sequences and HiFiGAN-compatible mels.
+
+Expects JSON manifests {utt: {"wav": path, "label": text, "length": s}}.
+Run: ``python train.py hparams/train.yaml --data_folder=...``.
+"""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import speechbrain_tpu as sb
+from speechbrain_tpu.dataio.dataio import read_audio
+from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+from speechbrain_tpu.lobes.models.HifiGAN import mel_spectogram
+from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
+from speechbrain_tpu.utils.text_to_sequence import text_to_sequence
+
+
+class Tacotron2Brain(sb.Brain):
+    """Teacher-forced Tacotron2 with the composite TTS loss."""
+
+    def compute_forward(self, params, state, batch, stage, rng):
+        text, text_lens = batch["text_sequence"]
+        mels, mel_lens = batch["mel"]
+        train = stage == sb.Stage.TRAIN
+        out, u = self.module_apply(
+            "model", params, state, text, text_lens, mels, train=train,
+            mutable_state=["batch_stats"] if train else [],
+            rngs={"dropout": rng},
+        )
+        return out, self.merge_state(state, "model", u)
+
+    def compute_objectives(self, model_output, batch, stage):
+        mels, mel_lens = batch["mel"]
+        # stop gate on the PADDED frame grid: 1 from the last true frame on
+        T = mels.shape[1]
+        gates = (
+            jnp.arange(T)[None, :]
+            >= jnp.round(mel_lens * T)[:, None] - 1
+        ).astype(mels.dtype)
+        return self.hparams.criterion(
+            model_output, (mels, gates), lengths=mel_lens
+        )
+
+    def init_forward(self, rng, eb):
+        text, text_lens = eb["text_sequence"]
+        mels, _ = eb["mel"]
+        rngs = {"params": rng}
+        import jax
+
+        rngs["dropout"] = jax.random.fold_in(rng, 1)
+        module = self.modules.model
+        v = dict(module.init(rngs, text, text_lens, mels))
+        out = {"params": {"model": v.pop("params")}}
+        for coll, tree in v.items():
+            out[coll] = {"model": tree}
+        return out
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        if stage == sb.Stage.VALID:
+            self.hparams.train_logger.log_stats(
+                stats_meta={"epoch": epoch},
+                train_stats={"loss": self.train_loss},
+                valid_stats={"loss": stage_loss},
+            )
+            self.save_checkpoint(meta={"loss": stage_loss},
+                                 min_keys=["loss"])
+
+
+def dataio_prepare(hparams):
+    """Text -> symbol ids; audio -> HiFiGAN mel + stop gate."""
+    datasets = {}
+    hop = hparams["hop_length"]
+
+    def pipeline(wav, label):
+        sig = read_audio(wav)
+        mel = mel_spectogram(
+            sample_rate=hparams["sample_rate"],
+            hop_length=hop,
+            win_length=hparams["win_length"],
+            n_fft=hparams["n_fft"],
+            n_mels=hparams["n_mel_channels"],
+            f_min=hparams["mel_fmin"],
+            f_max=hparams["mel_fmax"],
+            power=1, normalized=False, norm="slaney",
+            mel_scale="slaney", compression=True,
+            audio=jnp.asarray(sig)[None],
+        )[0]
+        yield np.asarray(
+            text_to_sequence(label, ["english_cleaners"]), np.int32
+        )
+        yield np.asarray(mel, np.float32)
+
+    for split, key in (("train", "train_annotation"),
+                       ("valid", "valid_annotation")):
+        ds = DynamicItemDataset.from_json(
+            hparams[key], replacements={"data_root": hparams["data_folder"]}
+        )
+        ds.add_dynamic_item(
+            pipeline, takes=["wav", "label"],
+            provides=["text_sequence", "mel"],
+        )
+        ds.set_output_keys(["id", "text_sequence", "mel"])
+        datasets[split] = ds
+    return datasets
+
+
+if __name__ == "__main__":
+    hparams_file, run_opts, overrides = sb.parse_arguments(sys.argv[1:])
+    with open(hparams_file, encoding="utf-8") as f:
+        hparams = load_hyperpyyaml(f, overrides)
+    sb.create_experiment_directory(
+        experiment_directory=hparams["output_folder"],
+        hyperparams_to_save=hparams_file,
+        overrides=overrides,
+    )
+    datasets = dataio_prepare(hparams)
+    brain = Tacotron2Brain(
+        modules=hparams["modules"],
+        opt_class=lambda: optax.adamw(
+            hparams["lr"], weight_decay=hparams["weight_decay"]
+        ),
+        hparams=hparams,
+        run_opts=run_opts,
+        checkpointer=hparams["checkpointer"],
+    )
+    brain.fit(
+        hparams["epoch_counter"],
+        datasets["train"],
+        datasets["valid"],
+        train_loader_kwargs={"batch_size": hparams["batch_size"],
+                             "shuffle": True,
+                             "pad_to_multiple": {"mel": 64}},
+        valid_loader_kwargs={"batch_size": hparams["batch_size"],
+                             "pad_to_multiple": {"mel": 64}},
+    )
