@@ -90,3 +90,66 @@ def pad_batch_to_devices(batch, n_devices):
         return _np.pad(_np.asarray(x), pad_width, mode="edge")
 
     return jax.tree_util.tree_map(pad, batch)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel sharding rules (Megatron pattern over a "model" axis)
+# ---------------------------------------------------------------------------
+
+TENSOR_PARALLEL_RULES = (
+    # (path-substring, kernel-ndim, PartitionSpec dims)
+    # attention: column-parallel QKV/pos, row-parallel output proj
+    ("q_proj/kernel", (None, "model")),
+    ("k_proj/kernel", (None, "model")),
+    ("v_proj/kernel", (None, "model")),
+    ("pos_proj/kernel", (None, "model")),
+    ("q_proj/bias", ("model",)),
+    ("k_proj/bias", ("model",)),
+    ("v_proj/bias", ("model",)),
+    ("out_proj/kernel", ("model", None)),
+    # per-head relative-position biases: heads on the model axis
+    ("pos_bias_u", ("model", None)),
+    ("pos_bias_v", ("model", None)),
+    # feed-forward: column- then row-parallel
+    ("ffn1/kernel", (None, "model")),
+    ("ffn1/bias", ("model",)),
+    ("ffn2/kernel", ("model", None)),
+    # conformer conv module: pointwise expand/contract + channel-sharded dw
+    ("pw1/kernel", (None, None, "model")),
+    ("pw1/bias", ("model",)),
+    ("dw/kernel", (None, None, "model")),
+    ("dw/bias", ("model",)),
+    ("pw2/kernel", (None, "model", None)),
+)
+
+
+def param_partition_spec(path, leaf, rules=TENSOR_PARALLEL_RULES):
+    """PartitionSpec for one parameter: first rule whose substring
+    matches the '/'-joined path and whose rank matches the leaf wins;
+    everything else is replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    for pattern, dims in rules:
+        if pattern in path and len(dims) == leaf.ndim:
+            return P(*dims)
+    return P()
+
+
+def shard_params_tensor_parallel(params, mesh, rules=TENSOR_PARALLEL_RULES):
+    """Place a param pytree on ``mesh`` with tensor-parallel sharding:
+    attention heads and FFN hidden dims split over the "model" axis,
+    everything else replicated. Returns the sharded pytree.
+
+    Requires each sharded dim to divide by the model-axis size (pad your
+    d_ffn / nhead accordingly — standard Megatron constraint).
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = param_partition_spec(name, leaf, rules)
+        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
