@@ -74,6 +74,7 @@ class RunOptions:
     device: str = "auto"  # "auto" | "tpu" | "cpu"
     precision: str = "fp32"  # "fp32" | "bf16"
     data_parallel_count: int = -1  # -1: all local devices
+    tensor_parallel_count: int = 1  # "model" mesh axis size
     max_grad_norm: float = 5.0
     grad_accumulation_factor: int = 1
     nonfinite_patience: int = 3
@@ -316,17 +317,36 @@ class Brain:
         else:
             devices = jax.devices()
         count = self.run_opts.data_parallel_count
+        tp = max(int(self.run_opts.tensor_parallel_count or 1), 1)
         if count is None or count <= 0:
-            count = len(devices)
-        devices = devices[:count]
-        self.mesh = Mesh(np.array(devices), axis_names=("data",))
+            count = len(devices) // tp
+        devices = devices[: count * tp]
+        if len(devices) < count * tp:
+            raise ValueError(
+                f"need {count * tp} devices for data={count} x model={tp}, "
+                f"have {len(devices)}"
+            )
+        self.mesh = Mesh(
+            np.array(devices).reshape(count, tp),
+            axis_names=("data", "model"),
+        )
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated_sharding = NamedSharding(self.mesh, P())
         logger.info(
-            "Mesh: %d device(s) on axis 'data' (%s)",
-            len(devices),
-            devices[0].platform,
+            "Mesh: data=%d x model=%d device(s) (%s)",
+            count, tp, devices[0].platform,
         )
+
+    def shard_params(self, params):
+        """Place params on the mesh: tensor-parallel rules when the
+        "model" axis is >1, replicated otherwise."""
+        if self.mesh.shape.get("model", 1) > 1:
+            from speechbrain_tpu.parallel.mesh import (
+                shard_params_tensor_parallel,
+            )
+
+            return shard_params_tensor_parallel(params, self.mesh)
+        return jax.device_put(params, self.replicated_sharding)
 
     @property
     def n_devices(self):
@@ -459,6 +479,7 @@ class Brain:
 
         num, mag = format_order_of_magnitude(count)
         logger.info("%s%s trainable parameters", num, mag)
+        self.params = self.shard_params(self.params)
 
     def init_optimizers(self):
         """Build the optax optimizer(s).
