@@ -91,3 +91,19 @@ def test_rnnlm_overfits():
     inc = jnp.stack(steps, axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(inc),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_evaluate_loop_returns_loss():
+    ds = make_dataset()
+    brain = LMBrain(
+        modules={"lm": RNNLM(output_neurons=VOCAB, embedding_dim=8,
+                             rnn_neurons=12, rnn_layers=1, dnn_neurons=12)},
+        opt_class=lambda: optax.adam(5e-3),
+        run_opts={"device": "cpu", "noprogressbar": True},
+    )
+    brain.fit(EpochCounter(3), train_set=ds,
+              train_loader_kwargs={"batch_size": 5})
+    test_loss = brain.evaluate(ds, test_loader_kwargs={"batch_size": 5})
+    assert np.isfinite(test_loss)
+    # evaluation must not disturb training state
+    assert brain.step == 0
