@@ -69,3 +69,10 @@ class MSTacotron2(Tacotron2):
         """Synthesize ``texts`` in the voice of ``audio_path``."""
         spk_emb = self.hparams.spk_emb_encoder(self.load_audio(audio_path)[None])
         return self.encode_batch(texts), spk_emb
+
+
+class FastSpeech2InternalAlignment(FastSpeech2):
+    """FastSpeech2 trained with internal alignment (reference TTS.py
+    FastSpeech2InternalAlignment): same inference surface; durations come
+    from the internally learned aligner instead of external MFA targets,
+    so checkpoints differ but encode_batch/infer are identical."""

@@ -4,6 +4,7 @@ Capability parity with the reference's ``speechbrain/inference/enhancement.py``
 (SpectralMaskEnhancement :43, WaveformEnhancement :150).
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from speechbrain_tpu.inference.interfaces import Pretrained
@@ -67,4 +68,54 @@ class WaveformEnhancement(Pretrained):
             from speechbrain_tpu.dataio.dataio import write_audio
 
             write_audio(output_path, enhanced[0], 16000)
+        return enhanced[0]
+
+
+class SGMSEEnhancement(Pretrained):
+    """Score-based diffusion enhancement (reference enhancement.py
+    SGMSEEnhancement): predictor-corrector sampling over the OUVE SDE in
+    the complex-STFT domain, via
+    :class:`speechbrain_tpu.integrations.models.sgmse_plus.ScoreModel`.
+
+    hparams: compute_stft (STFT), score_model (ScoreModel), n_steps.
+    """
+
+    HPARAMS_NEEDED = ["compute_stft"]
+    MODULES_NEEDED = ["score_model"]
+
+    def enhance_batch(self, noisy, lengths=None, rng=None, n_steps=None):
+        """Waveforms (B, T) -> enhanced waveforms via reverse diffusion."""
+        import jax
+
+        from speechbrain_tpu.processing.features import ISTFT
+
+        stft = self.hparams.compute_stft
+        spec = stft(jnp.asarray(noisy))
+        y = jnp.stack([spec.real, spec.imag], axis=-1)  # (B, T, F, 2)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        model = self.mods.score_model
+        x = model.apply(
+            {"params": self.params.get("score_model", {})},
+            y, rng, n_steps or getattr(self.hparams, "n_steps", None),
+            method="enhance",
+        )
+        est = x[..., 0] + 1j * x[..., 1]
+        # STFT stores win/hop in SAMPLES; ISTFT's constructor takes ms
+        sr = stft.sample_rate
+        istft = ISTFT(
+            sample_rate=sr, n_fft=stft.n_fft,
+            win_length=stft.win_length * 1000.0 / sr,
+            hop_length=stft.hop_length * 1000.0 / sr,
+        )
+        return istft(est)
+
+    def enhance_file(self, filename, output_filename=None, **kwargs):
+        """Enhance one file; optionally write the result as WAV."""
+        noisy = self.load_audio(filename)[None]
+        enhanced = self.enhance_batch(noisy, **kwargs)
+        if output_filename is not None:
+            from speechbrain_tpu.dataio.audio_io import save
+
+            save(output_filename, np.asarray(enhanced[0]),
+                 self.hparams.compute_stft.sample_rate)
         return enhanced[0]

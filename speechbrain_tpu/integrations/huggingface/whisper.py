@@ -24,7 +24,8 @@ class Whisper(HFTransformersInterface):
 
     def __init__(self, source, save_path="", sampling_rate=16000,
                  encoder_only=False, freeze=False, freeze_encoder=False,
-                 output_attentions=False, config_only=False, **kwargs):
+                 output_attentions=False, config_only=False,
+                 tokenizer_source=None, **kwargs):
         import transformers
 
         cls = (
@@ -40,6 +41,13 @@ class Whisper(HFTransformersInterface):
         self.encoder_only = encoder_only
         self.freeze_encoder = freeze_encoder
         self._mel = None
+        self.tokenizer = None
+        try:
+            self.tokenizer = transformers.WhisperTokenizer.from_pretrained(
+                tokenizer_source or source
+            )
+        except Exception:
+            pass  # offline / no tokenizer files: caller may set one
 
     def _log_mel(self, wav):
         """Whisper-style 80-bin log-mel (fallback when no processor)."""
@@ -53,7 +61,20 @@ class Whisper(HFTransformersInterface):
 
         if self._mel is None:
             self._mel = Fbank(n_mels=80, n_fft=400, hop_length=10, win_length=25)
-        return jnp.moveaxis(self._mel(wav), 1, 2)
+        mel = jnp.moveaxis(self._mel(wav), 1, 2)  # (B, 80, T)
+        # Whisper's encoder demands exactly max_source_positions*2 frames
+        # (3000 = 30 s); pad with the log-mel floor or trim
+        target = 2 * self.model.config.max_source_positions
+        T = mel.shape[-1]
+        if T < target:
+            floor = jnp.min(mel, axis=(1, 2), keepdims=True)
+            pad = jnp.broadcast_to(
+                floor, mel.shape[:2] + (target - T,)
+            )
+            mel = jnp.concatenate([mel, pad], axis=-1)
+        elif T > target:
+            mel = mel[..., :target]
+        return mel
 
     def forward_encoder(self, wav):
         mel = self._log_mel(wav)

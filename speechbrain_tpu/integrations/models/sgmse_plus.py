@@ -137,6 +137,11 @@ class ScoreModel(nn.Module):
         sgmse_plus.py:244)."""
         sde = self.sde
         n_steps = N or sde.N
+        # pad the (T, F) grid so the UNet's stride-2 stages divide evenly
+        T0, F0 = y.shape[1], y.shape[2]
+        pt, pf = (-T0) % 4, (-F0) % 4
+        if pt or pf:
+            y = jnp.pad(y, ((0, 0), (0, pt), (0, pf), (0, 0)))
         B = y.shape[0]
         ts = jnp.linspace(sde.T, self.t_eps, n_steps)
         dt = ts[0] - ts[1] if n_steps > 1 else sde.T - self.t_eps
@@ -146,6 +151,12 @@ class ScoreModel(nn.Module):
             (-1,) + (1,) * (y.ndim - 1)
         )
         x = y + std_T * jax.random.normal(r_init, y.shape)
+
+        if self.is_initializing():
+            # params cannot be created inside lax.scan: trace one score
+            # call to materialize them, skip the sampling loop
+            _ = self(x, y, jnp.full((B,), sde.T))
+            return x[:, :T0, :F0]
 
         def body(carry, inp):
             x, r = carry
@@ -171,4 +182,4 @@ class ScoreModel(nn.Module):
             return (x, r), None
 
         (x, _), _ = jax.lax.scan(body, (x, r_loop), ts)
-        return x
+        return x[:, :T0, :F0]
