@@ -87,7 +87,6 @@ class SGMSEEnhancement(Pretrained):
         """Waveforms (B, T) -> enhanced waveforms via reverse diffusion."""
         import jax
 
-        from speechbrain_tpu.processing.features import ISTFT
 
         stft = self.hparams.compute_stft
         spec = stft(jnp.asarray(noisy))
@@ -100,14 +99,7 @@ class SGMSEEnhancement(Pretrained):
             method="enhance",
         )
         est = x[..., 0] + 1j * x[..., 1]
-        # STFT stores win/hop in SAMPLES; ISTFT's constructor takes ms
-        sr = stft.sample_rate
-        istft = ISTFT(
-            sample_rate=sr, n_fft=stft.n_fft,
-            win_length=stft.win_length * 1000.0 / sr,
-            hop_length=stft.hop_length * 1000.0 / sr,
-        )
-        return istft(est)
+        return stft.inverse()(est)
 
     def enhance_file(self, filename, output_filename=None, **kwargs):
         """Enhance one file; optionally write the result as WAV."""

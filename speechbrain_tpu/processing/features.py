@@ -219,6 +219,18 @@ class STFT:
             raise ValueError("Filter properties assume a centered STFT")
         return FilterProperties(window_size=self.win_length, stride=self.hop_length)
 
+    def inverse(self):
+        """A matched ISTFT. Use this rather than constructing ISTFT from
+        STFT attributes: the constructor takes win/hop in MILLISECONDS
+        while the attributes store SAMPLES."""
+        sr = self.sample_rate
+        return ISTFT(
+            sample_rate=sr,
+            n_fft=self.n_fft,
+            win_length=self.win_length * 1000.0 / sr,
+            hop_length=self.hop_length * 1000.0 / sr,
+        )
+
 
 class ISTFT:
     """Inverse STFT via windowed overlap-add with window-envelope
