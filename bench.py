@@ -94,9 +94,17 @@ def bench_asr(batch=16, seconds=10.0, bf16=False):
     from speechbrain_tpu.lobes.models.transformer.TransformerASR import TransformerASR
     from speechbrain_tpu.nnet.linear import Linear
 
+    from speechbrain_tpu.lobes.models.convolution import ConvolutionFrontEnd
+
     fbank = Fbank(n_mels=80)
+    # stride-4 conv frontend, like the reference's conformer recipes:
+    # the encoder runs at 25 Hz, not 100 Hz
+    frontend = ConvolutionFrontEnd(
+        num_blocks=2, out_channels=(64, 32), kernel_sizes=(3, 3),
+        strides=(2, 2),
+    )
     net = TransformerASR(
-        tgt_vocab=5000, input_size=80, d_model=256, nhead=4,
+        tgt_vocab=5000, input_size=640, d_model=256, nhead=4,
         num_encoder_layers=12, num_decoder_layers=0, d_ffn=1024,
         encoder_module="conformer", attention_type="RelPosMHAXL",
         kernel_size=31,
@@ -109,22 +117,25 @@ def bench_asr(batch=16, seconds=10.0, bf16=False):
     lens = jnp.ones((batch,))
     feats = fbank(wavs)
     rng = jax.random.PRNGKey(0)
-    v = net.init(rng, feats, None)
-    enc0 = net.apply(v, feats, method="encode")
+    v_fe = frontend.init(rng, feats, train=False)
+    sub = frontend.apply(v_fe, feats, train=False)
+    v = net.init(rng, sub, None)
+    enc0 = net.apply(v, sub, method="encode")
     v_lin = lin.init(rng, enc0)
     if bf16:
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, t,
         )
-        v, v_lin = cast(v), cast(v_lin)
+        v, v_lin, v_fe = cast(v), cast(v_lin), cast(v_fe)
 
     @jax.jit
     def pipeline(wavs, lens):
         feats = fbank(wavs)
         if bf16:
             feats = feats.astype(jnp.bfloat16)
-        enc = net.apply(v, feats, wav_len=lens, method="encode")
+        sub = frontend.apply(v_fe, feats, train=False)
+        enc = net.apply(v, sub, wav_len=lens, method="encode")
         logits = lin.apply(v_lin, enc)
         return jnp.argmax(logits, axis=-1)
 
