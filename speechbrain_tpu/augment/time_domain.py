@@ -222,20 +222,43 @@ class DropFreq:
         self.count_high = drop_freq_count_high
         self.width = drop_freq_width
 
+    @staticmethod
+    def _notch_kernel(freq, filter_width, notch_width):
+        """Traced-frequency FIR notch kernel (jit-safe twin of
+        processing.signal_processing.notch_filter)."""
+        pad = filter_width // 2
+        inputs = jnp.arange(filter_width) - pad
+        freq = freq + notch_width
+
+        def sinc(x):
+            safe = jnp.where(inputs == 0, 1.0, x)
+            return jnp.where(inputs == 0, 1.0, jnp.sin(safe) / safe)
+
+        win = jnp.asarray(np.blackman(filter_width).astype(np.float32))
+        hlpf = sinc(3 * (freq - notch_width) * inputs) * win
+        hlpf = hlpf / jnp.sum(hlpf)
+        hhpf = sinc(3 * (freq + notch_width) * inputs) * win
+        hhpf = hhpf / -jnp.sum(hhpf)
+        hhpf = hhpf.at[pad].add(1.0)
+        return (hlpf + hhpf).reshape(1, -1, 1)
+
     def __call__(self, waveforms, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(rng)
-        count = int(jax.random.randint(k1, (), self.count_low, self.count_high + 1))
+        # static unroll to count_high; extra notches masked out (jit-safe)
+        count = jax.random.randint(
+            k1, (), self.count_low, self.count_high + 1
+        )
         squeeze = waveforms.ndim == 2
         x = waveforms[..., None] if squeeze else waveforms
-        for i in range(count):
-            freq = float(
-                jax.random.uniform(
-                    jax.random.fold_in(k2, i), (), minval=self.low, maxval=self.high
-                )
+        for i in range(self.count_high):
+            freq = jax.random.uniform(
+                jax.random.fold_in(k2, i), (), minval=self.low,
+                maxval=self.high,
             )
-            kernel = notch_filter(freq, 101, self.width)
-            x = convolve1d(x, kernel, padding=50)
+            kernel = self._notch_kernel(freq, 101, self.width)
+            filtered = convolve1d(x, kernel, padding=50)
+            x = jnp.where(i < count, filtered, x)
         return x[..., 0] if squeeze else x
 
 
