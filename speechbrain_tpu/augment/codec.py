@@ -48,10 +48,12 @@ class CodecAugment:
 
     def __call__(self, waveform, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        idx = int(jax.random.randint(rng, (), 0, len(self.available)))
-        name = self.available[idx]
-        if name == "mulaw":
-            return self._mulaw(waveform)
-        if name == "bitcrush":
-            return self._bitcrush(waveform)
-        return self._bandlimit(waveform)
+        branches = {
+            "mulaw": self._mulaw,
+            "bitcrush": self._bitcrush,
+            "bandlimit": self._bandlimit,
+        }
+        fns = [branches[name] for name in self.available]
+        # all codecs preserve shape, so lax.switch is jit-safe
+        idx = jax.random.randint(rng, (), 0, len(self.available))
+        return jax.lax.switch(idx, fns, waveform)

@@ -116,8 +116,15 @@ class AddReverb:
         if self.rir_funct is not None:
             rir = self.rir_funct(rng, waveforms.shape)
         elif self.rir_batch is not None:
-            idx = int(jax.random.randint(rng, (), 0, len(self.rir_batch)))
-            rir = jnp.asarray(self.rir_batch[idx])[None, :]
+            # jit-safe: pad all RIRs to one buffer, gather with traced idx
+            if not hasattr(self, "_rir_stack"):
+                L = max(len(r) for r in self.rir_batch)
+                self._rir_stack = jnp.stack([
+                    jnp.pad(jnp.asarray(r), (0, L - len(r)))
+                    for r in self.rir_batch
+                ])
+            idx = jax.random.randint(rng, (), 0, len(self.rir_batch))
+            rir = self._rir_stack[idx][None, :]
         else:
             # synthetic exponential-decay RIR
             t = jnp.arange(2000) / 16000.0
@@ -145,12 +152,23 @@ class SpeedPerturb:
 
     def __call__(self, waveform, lengths=None, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        idx = int(jax.random.randint(rng, (), 0, len(self.speeds)))
-        out = self.resamplers[idx](waveform)
         T = waveform.shape[1]
-        if out.shape[1] >= T:
-            return out[:, :T]
-        return jnp.pad(out, ((0, 0), (0, T - out.shape[1])))
+
+        def make_branch(resampler):
+            def branch(w):
+                out = resampler(w)
+                if out.shape[1] >= T:
+                    return out[:, :T]
+                return jnp.pad(out, ((0, 0), (0, T - out.shape[1])))
+
+            return branch
+
+        # lax.switch keeps every branch static-shaped (pad/trim to T),
+        # so speed selection is jit-safe
+        idx = jax.random.randint(rng, (), 0, len(self.speeds))
+        return jax.lax.switch(
+            idx, [make_branch(r) for r in self.resamplers], waveform
+        )
 
 
 class Resample:

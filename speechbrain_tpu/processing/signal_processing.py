@@ -106,9 +106,11 @@ def convolve1d(
             K = T
         zero_length = T - K
         zeros = jnp.zeros((kernel.shape[0], zero_length, kernel.shape[2]), kernel.dtype)
-        after_index = kernel[:, rotation_index:, :]
-        before_index = kernel[:, :rotation_index, :]
-        kernel = jnp.concatenate([after_index, zeros, before_index], axis=1)
+        # [kernel[rot:] | zeros | kernel[:rot]] == roll(pad(kernel), -rot):
+        # jnp.roll accepts a TRACED rotation index (jit-safe)
+        kernel = jnp.roll(
+            jnp.concatenate([kernel, zeros], axis=1), -rotation_index, axis=1
+        )
         f_sig = jnp.fft.rfft(waveform, axis=1)
         f_ker = jnp.fft.rfft(kernel, axis=1)
         return jnp.fft.irfft(f_sig * f_ker, n=waveform.shape[1], axis=1)
@@ -147,7 +149,7 @@ def reverberate(waveforms, rir_waveform, rescale_amp="avg"):
     # use direct-path delay as the rotation index so speech stays aligned
     direct_index = jnp.argmax(jnp.abs(rir_waveform), axis=1).max()
     waveforms = convolve1d(
-        waveforms, rir_waveform, use_fft=True, rotation_index=int(direct_index)
+        waveforms, rir_waveform, use_fft=True, rotation_index=direct_index
     )
     rev_amplitude = compute_amplitude(waveforms[..., 0], waveforms.shape[1], rescale_amp)
     waveforms = waveforms * (orig_amplitude / (rev_amplitude + 1e-14))[..., None]
