@@ -59,22 +59,28 @@ class AddNoise:
         if self.noise_funct is not None:
             return self.noise_funct(rng, shape)
         if self.noise_batch is not None:
-            # host-side selection of noise segments (eager path)
+            # jit-safe: at trace time T is static, so build (once per T) a
+            # stack of noises tiled to 2T, then gather with traced
+            # per-sample idx + traced start offsets
+            B, T = shape
+            stack = getattr(self, "_noise_stack", {}).get(T)
+            if stack is None:
+                rows = []
+                for noise in self.noise_batch:
+                    noise = np.asarray(noise)
+                    reps = int(np.ceil(2 * T / max(len(noise), 1)))
+                    rows.append(np.tile(noise, max(reps, 1))[: 2 * T])
+                stack = jnp.asarray(np.stack(rows))
+                if not hasattr(self, "_noise_stack"):
+                    self._noise_stack = {}
+                self._noise_stack[T] = stack
             k1, k2 = jax.random.split(rng)
-            idx = jax.random.randint(k1, (shape[0],), 0, len(self.noise_batch))
-            outs = []
-            for b in range(shape[0]):
-                noise = np.asarray(self.noise_batch[int(idx[b])])
-                if len(noise) < shape[1]:
-                    reps = int(np.ceil(shape[1] / len(noise)))
-                    noise = np.tile(noise, reps)
-                start = int(
-                    jax.random.randint(
-                        jax.random.fold_in(k2, b), (), 0, max(1, len(noise) - shape[1])
-                    )
-                )
-                outs.append(noise[start : start + shape[1]])
-            return jnp.asarray(np.stack(outs))
+            idx = jax.random.randint(k1, (B,), 0, len(self.noise_batch))
+            starts = jax.random.randint(k2, (B,), 0, T)
+            rows = stack[idx]  # (B, 2T)
+            return jax.vmap(
+                lambda row, s: jax.lax.dynamic_slice_in_dim(row, s, T)
+            )(rows, starts)
         return jax.random.normal(rng, shape)
 
     def __call__(self, waveforms, lengths=None, rng=None):
