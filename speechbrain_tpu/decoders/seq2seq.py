@@ -77,6 +77,7 @@ class S2SGreedySearcher(S2SBaseSearcher):
     def __call__(self, enc_states, wav_len):
         B, T = enc_states.shape[0], enc_states.shape[1]
         max_steps = max(1, int(T * self.max_decode_ratio))
+        _, max_steps = self.change_max_decoding_length(0, max_steps)
         memory = self.reset_mem(B, enc_states, wav_len)
 
         def body(carry, step):
@@ -210,6 +211,15 @@ class S2SBeamSearcher(S2SBaseSearcher):
         enc_inflated = jnp.repeat(enc_states, K, axis=0)
         lens_inflated = jnp.repeat(wav_len, K, axis=0)
         memory = self.reset_mem(n_bh, enc_inflated, lens_inflated)
+        # Materialize broadcast (leading-dim-1) init leaves at batch*beam so
+        # the axis-0 predecessor gather in permute_mem keeps shapes stable
+        # across fori_loop iterations.
+        memory = jax.tree_util.tree_map(
+            lambda t: jnp.broadcast_to(t, (n_bh,) + t.shape[1:])
+            if hasattr(t, "shape") and t.ndim >= 1
+            and t.shape[0] == 1 and n_bh > 1 else t,
+            memory,
+        )
         scorer_mem = None
         if self.scorer is not None:
             scorer_mem = self.scorer.reset_scorer_mem(enc_inflated, lens_inflated)
@@ -224,12 +234,14 @@ class S2SBeamSearcher(S2SBaseSearcher):
         finished_flags = jnp.zeros((B, K), bool)
         finished_lens = jnp.zeros((B, K), jnp.int32)
         prev_tokens = jnp.full((n_bh,), self.bos_index, jnp.int32)
+        prev_attn_peak = jnp.zeros((n_bh,), jnp.int32)
 
         def body(step, carry):
             (
                 prev_tokens,
                 memory,
                 scorer_mem,
+                prev_attn_peak,
                 alive_seq,
                 alive_scores,
                 finished_seq,
@@ -242,6 +254,21 @@ class S2SBeamSearcher(S2SBaseSearcher):
             )
             log_probs = log_probs / self.temperature
             V = log_probs.shape[-1]
+            cur_attn_peak = prev_attn_peak
+            if self.using_max_attn_shift:
+                # Block hypotheses whose attention peak jumps more than
+                # max_attn_shift frames (reference seq2seq.py:824): all their
+                # extensions get -inf, so they fall out of the beam.
+                attn_2d = attn.reshape(n_bh, -1)
+                cur_attn_peak = jnp.argmax(attn_2d, axis=-1).astype(jnp.int32)
+                within = jnp.abs(
+                    cur_attn_peak - prev_attn_peak
+                ) <= self.max_attn_shift
+                # step 0 has no previous peak; never block it
+                within = jnp.logical_or(within, step == 0)
+                log_probs = jnp.where(
+                    within[:, None], log_probs, self.minus_inf
+                )
             if self.scorer is not None:
                 log_probs, scorer_mem = self.scorer.score(
                     prev_tokens, scorer_mem, attn, log_probs, self.beam_size
@@ -306,6 +333,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
             new_tokens = jnp.take_along_axis(token_idx, alive_idx, axis=1)
             predecessors = (src_beam + jnp.arange(B)[:, None] * K).reshape(-1)
             memory = self.permute_mem(memory, predecessors)
+            prev_attn_peak = jnp.take(cur_attn_peak, predecessors)
             if self.scorer is not None:
                 # scorer memories were extended per candidate inside score();
                 # select the surviving (hyp, token) pairs
@@ -319,6 +347,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 prev_tokens,
                 memory,
                 scorer_mem,
+                prev_attn_peak,
                 alive_seq,
                 alive_scores,
                 finished_seq,
@@ -331,6 +360,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
             prev_tokens,
             memory,
             scorer_mem,
+            prev_attn_peak,
             alive_seq,
             alive_scores,
             finished_seq,
@@ -343,6 +373,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
             _pt,
             _mem,
             _sm,
+            _pap,
             alive_seq,
             alive_scores,
             finished_seq,
@@ -501,3 +532,107 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens, step):
         return self.step_fn(inp_tokens, memory, enc_states, enc_lens)
+
+
+# ---------------------------------------------------------------------------
+# Whisper searchers (reference seq2seq.py: S2SWhisperGreedySearcher,
+# S2SWhisperBeamSearcher :1937)
+# ---------------------------------------------------------------------------
+
+class _WhisperDecodeMixin:
+    """Shared fixed-buffer decode step for Whisper searchers.
+
+    The decoder prompt (``<|startoftranscript|>`` [+ language + task +
+    ``<|notimestamps|>``]) is pre-filled into the token buffer; each loop
+    step writes one token and re-runs the causal decoder over the static
+    buffer — fully jitted, no host round-trips (replaces the reference's
+    per-token Python loop, inference/ASR.py:431-977).
+
+    ``model`` must expose ``forward_decoder(enc_states, tokens) -> logits``.
+    """
+
+    def _setup_whisper(self, model, prompt_ids, max_length, suppress_ids,
+                       max_gen_tokens, temperature):
+        self.model = model
+        self.prompt_ids = [int(t) for t in prompt_ids]
+        self.max_length = max_length
+        self.suppress_ids = tuple(int(t) for t in suppress_ids)
+        self.max_gen_tokens = max_gen_tokens
+        self.whisper_temperature = temperature
+
+    def change_max_decoding_length(self, min_decode_steps, max_decode_steps):
+        cap = min(self.max_length - len(self.prompt_ids), self.max_gen_tokens)
+        return min(min_decode_steps, cap), min(max_decode_steps, cap)
+
+    def _buffer_len(self, enc_T):
+        _, steps = self.change_max_decoding_length(
+            0, max(1, int(enc_T * self.max_decode_ratio))
+        )
+        return steps + len(self.prompt_ids)
+
+    def reset_mem(self, batch_size, enc_states, enc_lens):
+        P = len(self.prompt_ids)
+        buf = jnp.full(
+            (batch_size, self._buffer_len(enc_states.shape[1])),
+            self.eos_index, jnp.int32,
+        )
+        buf = buf.at[:, :P].set(jnp.asarray(self.prompt_ids, jnp.int32))
+        return {"tokens": buf}
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens, step):
+        P = len(self.prompt_ids)
+        buf = memory["tokens"].at[:, step + P - 1].set(inp_tokens)
+        logits = self.model.forward_decoder(enc_states, buf)
+        logp_all = jax.nn.log_softmax(
+            logits / self.whisper_temperature, axis=-1
+        )
+        logp = jax.lax.dynamic_slice_in_dim(
+            logp_all, step + P - 1, 1, axis=1
+        )[:, 0]
+        if self.suppress_ids:
+            logp = logp.at[:, jnp.asarray(self.suppress_ids)].set(NEG_INF)
+        return logp, {"tokens": buf}, None
+
+
+class S2SWhisperGreedySearcher(_WhisperDecodeMixin, S2SGreedySearcher):
+    """Jitted greedy decoding for Whisper (reference
+    S2SWhisperGreedySearch)."""
+
+    def __init__(self, model, prompt_ids, eos_index, max_length=448,
+                 suppress_ids=(), max_gen_tokens=224, temperature=1.0,
+                 min_decode_ratio=0.0, max_decode_ratio=1.0, **kwargs):
+        S2SGreedySearcher.__init__(
+            self,
+            bos_index=int(prompt_ids[-1]),
+            eos_index=eos_index,
+            min_decode_ratio=min_decode_ratio,
+            max_decode_ratio=max_decode_ratio,
+            **kwargs,
+        )
+        self._setup_whisper(
+            model, prompt_ids, max_length, suppress_ids, max_gen_tokens,
+            temperature,
+        )
+
+
+class S2SWhisperBeamSearcher(_WhisperDecodeMixin, S2SBeamSearcher):
+    """Batched beam search for Whisper (reference seq2seq.py:1937),
+    running the same fori_loop machinery as the other beam searchers."""
+
+    def __init__(self, model, prompt_ids, eos_index, beam_size=4,
+                 max_length=448, suppress_ids=(), max_gen_tokens=224,
+                 temperature=1.0, min_decode_ratio=0.0, max_decode_ratio=1.0,
+                 **kwargs):
+        S2SBeamSearcher.__init__(
+            self,
+            bos_index=int(prompt_ids[-1]),
+            eos_index=eos_index,
+            min_decode_ratio=min_decode_ratio,
+            max_decode_ratio=max_decode_ratio,
+            beam_size=beam_size,
+            **kwargs,
+        )
+        self._setup_whisper(
+            model, prompt_ids, max_length, suppress_ids, max_gen_tokens,
+            temperature,
+        )

@@ -403,9 +403,11 @@ class AttentionalRNNDecoder(nn.Module):
         return (1 - z) * n + z * h
 
     def init_state(self, batch, enc_T, dtype=jnp.float32):
-        """Explicit decoder state pytree."""
+        """Explicit decoder state pytree. All leaves are batch-leading so
+        beam search can permute hypotheses with a single axis-0 gather
+        (decoders/seq2seq.py permute_mem)."""
         return {
-            "hidden": jnp.zeros((self.num_layers, batch, self.hidden_size), dtype),
+            "hidden": jnp.zeros((batch, self.num_layers, self.hidden_size), dtype),
             "context": jnp.zeros((batch, self.hidden_size), dtype),
             "prev_attn": None,
         }
@@ -417,7 +419,7 @@ class AttentionalRNNDecoder(nn.Module):
         hs = []
         x = cell_inp
         for l in range(self.num_layers):
-            h = self._gru_step(l, state["hidden"][l], x)
+            h = self._gru_step(l, state["hidden"][:, l], x)
             hs.append(h)
             x = h
         dec_out = x
@@ -429,7 +431,7 @@ class AttentionalRNNDecoder(nn.Module):
             context, attn = self.attn(enc_states, enc_len, dec_out)
         out = self.proj(jnp.concatenate([dec_out, context], axis=-1))
         new_state = {
-            "hidden": jnp.stack(hs),
+            "hidden": jnp.stack(hs, axis=1),
             "context": context,
             "prev_attn": attn,
         }
