@@ -96,13 +96,20 @@ class ASR(sb.Brain):
             out[coll] = {"frontend": tree}
         return out
 
+    def on_fit_batch_end(self, batch, outputs, loss, should_step):
+        # Noam annealing happens after EVERY optimizer update (the
+        # reference recipe steps noam_annealing in on_fit_batch_end);
+        # stepping it once per epoch would leave the LR ~4 orders of
+        # magnitude below lr_adam for the whole run.
+        if should_step:
+            old_lr, new_lr = self.hparams.noam_scheduler(None)
+            self.opt_state = update_learning_rate(self.opt_state, new_lr)
+
     def on_stage_end(self, stage, stage_loss, epoch=None):
         if stage == sb.Stage.TRAIN:
             return
-        old_lr, new_lr = self.hparams.noam_scheduler(stage_loss)
-        self.opt_state = update_learning_rate(self.opt_state, new_lr)
         self.hparams.train_logger.log_stats(
-            stats_meta={"epoch": epoch, "lr": new_lr},
+            stats_meta={"epoch": epoch, "lr": self.hparams.noam_scheduler.current_lr},
             train_stats={"loss": self.train_loss},
             valid_stats={"loss": stage_loss},
         )

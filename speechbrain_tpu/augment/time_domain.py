@@ -306,28 +306,57 @@ class DropChunk:
         lengths_abs = (
             jnp.round(lengths * T) if lengths is not None else jnp.full((B,), T)
         )
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
         # always materialize count_high masks; deactivate the extras with a
         # traced comparison (static shapes under jit)
         count = jax.random.randint(k1, (B,), self.count_low, self.count_high + 1)
         mask = jnp.ones((B, T), waveforms.dtype)
         pos = jnp.arange(T)[None, :]
+        # chunk starts are confined to [drop_start, drop_end] as in the
+        # reference (negative indices count from the valid length)
+        win_lo = jnp.where(
+            self.drop_start >= 0, self.drop_start,
+            lengths_abs + self.drop_start,
+        ).astype(jnp.int32)
+        if self.drop_end is None:
+            win_hi = lengths_abs.astype(jnp.int32)
+        else:
+            win_hi = jnp.where(
+                self.drop_end >= 0,
+                jnp.minimum(self.drop_end, lengths_abs),
+                lengths_abs + self.drop_end,
+            ).astype(jnp.int32)
         for i in range(self.count_high):
             ki = jax.random.fold_in(k2, i)
             length = jax.random.randint(
                 ki, (B,), self.length_low, self.length_high + 1
             )
             length = jnp.where(i < count, length, 0)
-            max_start = jnp.maximum(lengths_abs - length, 1).astype(jnp.int32)
-            start = (
+            max_start = jnp.maximum(win_hi - length, win_lo + 1).astype(jnp.int32)
+            start = win_lo + (
                 jax.random.uniform(jax.random.fold_in(k3, i), (B,))
-                * max_start
+                * (max_start - win_lo)
             ).astype(jnp.int32)
             drop = (pos >= start[:, None]) & (pos < (start + length)[:, None])
             mask = mask * (1.0 - drop.astype(waveforms.dtype))
         if waveforms.ndim == 3:
             mask = mask[..., None]
-        return waveforms * mask
+        dropped = waveforms * mask
+        if self.noise_factor > 0.0:
+            # fill dropped spans with scaled uniform noise instead of
+            # silence (reference DropChunk noise_factor semantics): noise
+            # amplitude tracks each utterance's average amplitude
+            avg_amp = jnp.mean(
+                jnp.abs(waveforms), axis=tuple(range(1, waveforms.ndim)),
+                keepdims=True,
+            )
+            noise_max = 2 * avg_amp * self.noise_factor
+            noise = (
+                jax.random.uniform(k4, waveforms.shape, waveforms.dtype)
+                * 2.0 - 1.0
+            ) * noise_max
+            dropped = dropped + noise * (1.0 - mask)
+        return dropped
 
 
 class DoClip:

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from speechbrain_tpu.dataio.batch import PaddedData
 from speechbrain_tpu.dataio.dataloader import LoopedLoader, SaveableDataLoader, make_dataloader
 from speechbrain_tpu.dataio.sampler import DistributedSamplerWrapper
 from speechbrain_tpu.utils.checkpoints import (
@@ -87,6 +88,7 @@ class RunOptions:
     profile_training: bool = False
     profile_warmup: int = 5
     profile_steps: int = 10
+    output_folder: str = None  # profiler traces / experiment artifacts
     seed: int = 563375142
 
     @classmethod
@@ -271,6 +273,8 @@ class Brain:
         self.optimizer = None
         self.step = 0  # step within current epoch
         self.optimizer_step = 0  # global optimizer updates
+        self._micro_step = 0  # micro-batches seen (for grad accumulation)
+        self._pending_loss = None  # one-step-delayed loss sync
         self.avg_train_loss = 0.0
         self._compiled_train_step = None
         self._compiled_eval_step = None
@@ -579,6 +583,7 @@ class Brain:
         save_dict = {
             "step": self.step,
             "optimizer_step": self.optimizer_step,
+            "micro_step": self._micro_step,
             "avg_train_loss": self.avg_train_loss,
         }
         with open(path, "w") as w:
@@ -592,6 +597,7 @@ class Brain:
             save_dict = json.load(f)
         self.step = save_dict["step"]
         self.optimizer_step = save_dict["optimizer_step"]
+        self._micro_step = save_dict.get("micro_step", 0)
         self.avg_train_loss = save_dict["avg_train_loss"]
         if end_of_epoch:
             self.step = 0
@@ -675,17 +681,35 @@ class Brain:
         if self.run_opts.precision == "bf16":
             # bf16 autocast at the batch boundary: float inputs compute in
             # bf16 on the MXU; params stay fp32 (the reference's AMP ctx,
-            # utils/autocast.py, as a cast policy instead of a context)
-            batch = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                batch,
-            )
+            # utils/autocast.py, as a cast policy instead of a context).
+            # Relative lengths are EXCLUDED: bf16's 8 mantissa bits would
+            # corrupt round(lengths*T) masks for long sequences (the
+            # reference's autocast never downcasts lengths either).
+            def _cast_leaf(x):
+                if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                    return x.astype(jnp.bfloat16)
+                return x
+
+            def _cast(value):
+                if isinstance(value, PaddedData):
+                    return PaddedData(_cast_leaf(value.data), value.lengths)
+                return jax.tree_util.tree_map(_cast_leaf, value)
+
+            if isinstance(batch, dict):
+                batch = {k: _cast(v) for k, v in batch.items()}
+            else:
+                batch = _cast(batch)
         return batch
 
     def fit_batch(self, batch):
-        """One training step; returns the detached loss (host float)."""
+        """One training micro-step.
+
+        Returns the PREVIOUS step's loss as a host float (or None on the
+        very first call): syncing the just-dispatched loss would serialize
+        host dispatch with device compute, so the device runs one step
+        ahead and the host reads results with one step of lag
+        (``_flush_pending_loss`` drains the tail at epoch end).
+        """
         if self._compiled_train_step is None:
             self._compiled_train_step = self._make_train_step()
         self.rng, step_rng = jax.random.split(self.rng)
@@ -700,7 +724,23 @@ class Brain:
         ) = self._compiled_train_step(
             self.params, self.model_state, self.opt_state, batch, step_rng
         )
-        self.optimizer_step += 1
+        # with grad accumulation, optax.MultiSteps applies an update every
+        # k-th call; mirror the reference's optimizer_step semantics
+        # (core.py:852) by counting only applied updates
+        gaf = max(1, self.run_opts.grad_accumulation_factor)
+        self._micro_step += 1
+        should_step = self._micro_step % gaf == 0
+        if should_step:
+            self.optimizer_step += 1
+        self.on_fit_batch_end(batch, metrics, loss, should_step)
+        pending, self._pending_loss = self._pending_loss, loss
+        if pending is None:
+            return None
+        return self._host_loss(pending)
+
+    def _host_loss(self, loss):
+        """Device->host loss sync + nonfinite patience (reference
+        core.py:855-884)."""
         loss = float(loss)
         if not np.isfinite(loss):
             self.nonfinite_count += 1
@@ -714,6 +754,12 @@ class Brain:
                 raise ValueError("Loss is not finite and patience is exhausted.")
             return self.avg_train_loss
         return loss
+
+    def _flush_pending_loss(self):
+        pending, self._pending_loss = self._pending_loss, None
+        if pending is None:
+            return None
+        return self._host_loss(pending)
 
     def evaluate_batch(self, batch, stage):
         """One forward-only step; returns the loss (host float)."""
@@ -802,12 +848,33 @@ class Brain:
             train_set.set_epoch(epoch)
         self.avg_train_loss = 0.0
         self.nonfinite_count = 0
+        self._loss_count = 0
+        self._pending_loss = None
         last_log_time = time.time()
+        profiler_on = False
         t = _progress(train_set, enable, f"Epoch {epoch} TRAIN")
         for self.step, batch in enumerate(t, start=1):
+            if self.run_opts.profile_training:
+                if self.step == self.run_opts.profile_warmup + 1:
+                    jax.profiler.start_trace(
+                        os.path.join(
+                            self.run_opts.output_folder or ".",
+                            "profiler_logs",
+                        )
+                    )
+                    profiler_on = True
+                elif profiler_on and self.step == (
+                    self.run_opts.profile_warmup + self.run_opts.profile_steps + 1
+                ):
+                    jax.profiler.stop_trace()
+                    profiler_on = False
             self.on_fit_batch_start(batch)
             loss = self.fit_batch(batch)
-            self.avg_train_loss = self.update_average(loss, self.avg_train_loss)
+            if loss is not None:
+                self._loss_count += 1
+                self.avg_train_loss = self._update_average_n(
+                    loss, self.avg_train_loss, self._loss_count
+                )
             if hasattr(t, "set_postfix"):
                 t.set_postfix(train_loss=self.avg_train_loss)
             if self.run_opts.debug and self.step == self.run_opts.debug_batches:
@@ -815,6 +882,14 @@ class Brain:
             if self._should_save_intra_epoch_ckpt():
                 self._save_intra_epoch_ckpt()
             del batch
+        loss = self._flush_pending_loss()
+        if loss is not None:
+            self._loss_count += 1
+            self.avg_train_loss = self._update_average_n(
+                loss, self.avg_train_loss, self._loss_count
+            )
+        if profiler_on:
+            jax.profiler.stop_trace()
         self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
         # keep the epoch's train loss readable from later stage hooks
         # (the reference exposes it via stage stats)
@@ -908,9 +983,12 @@ class Brain:
 
     def update_average(self, loss, avg_loss):
         """Running average over the current stage (reference semantics)."""
-        if np.isfinite(loss):
-            avg_loss -= avg_loss / self.step
-            avg_loss += loss / self.step
+        return self._update_average_n(loss, avg_loss, self.step)
+
+    def _update_average_n(self, loss, avg_loss, n):
+        if np.isfinite(loss) and n > 0:
+            avg_loss -= avg_loss / n
+            avg_loss += loss / n
         return avg_loss
 
 
