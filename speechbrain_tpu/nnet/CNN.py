@@ -19,11 +19,15 @@ import numpy as np
 
 
 def _same_pad_1d(L, kernel, stride, dilation):
-    """Torch-style 'same' padding amounts for the time axis."""
-    eff_k = (kernel - 1) * dilation + 1
-    out = -(-L // stride)
-    total = max(0, (out - 1) * stride + eff_k - L)
-    return total // 2, total - total // 2
+    """'same' padding amounts, matching the reference's get_padding_elem
+    (ref nnet/CNN.py:1510): symmetric floor((L_in - L_out)/2) for stride 1,
+    floor(kernel/2) each side (dilation ignored) for stride > 1."""
+    if stride > 1:
+        p = kernel // 2
+        return p, p
+    L_out = (L - dilation * (kernel - 1) - 1) // stride + 1
+    p = (L - L_out) // 2
+    return p, p
 
 
 class Conv1d(nn.Module):
@@ -50,7 +54,9 @@ class Conv1d(nn.Module):
     padding: str = "same"
     groups: int = 1
     bias: bool = True
-    padding_mode: str = "constant"
+    # reflect matches the reference Conv1d default (ref nnet/CNN.py:86);
+    # checkpoint-parity tests fail at the edges with constant padding
+    padding_mode: str = "reflect"
     skip_transpose: bool = True  # accepted for API parity; layout is NWC
     weight_norm: bool = False
     dtype: jnp.dtype = None
@@ -78,7 +84,15 @@ class Conv1d(nn.Module):
             pads = [(self.padding, self.padding)]
         else:
             raise ValueError(f"Unsupported padding {self.padding}")
-        if self.padding_mode != "constant" and pads[0] != (0, 0):
+        # padding_mode applies to 'same' padding only; causal is always
+        # zero-padded on the left (ref nnet/CNN.py:444-446). Reflect needs
+        # pad < axis length; degenerate short axes fall back to zeros.
+        if (
+            self.padding == "same"
+            and self.padding_mode != "constant"
+            and pads[0] != (0, 0)
+            and max(pads[0]) < x.shape[1]
+        ):
             mode = {"reflect": "reflect", "replicate": "edge", "circular": "wrap"}[
                 self.padding_mode
             ]
@@ -125,6 +139,7 @@ class Conv2d(nn.Module):
     padding: str = "same"
     groups: int = 1
     bias: bool = True
+    padding_mode: str = "reflect"  # matches reference Conv2d (CNN.py:376)
     dtype: jnp.dtype = None
 
     @nn.compact
@@ -160,6 +175,18 @@ class Conv2d(nn.Module):
             pads = [(0, 0), (0, 0)]
         else:
             raise ValueError(f"Unsupported padding {self.padding}")
+        if (
+            self.padding == "same"
+            and self.padding_mode != "constant"
+            and (pads[0] != (0, 0) or pads[1] != (0, 0))
+            and max(pads[0]) < x.shape[1]
+            and max(pads[1]) < x.shape[2]
+        ):
+            mode = {"reflect": "reflect", "replicate": "edge", "circular": "wrap"}[
+                self.padding_mode
+            ]
+            x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)), mode=mode)
+            pads = [(0, 0), (0, 0)]
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)

@@ -149,3 +149,108 @@ def _normalize_target_path(path):
         # flax auto-names like Dense_0 -> dense 0
         toks.append(str(t))
     return tuple(toks)
+
+
+# ---------------------------------------------------------------------------
+# Rule-based exact converters (per model family)
+# ---------------------------------------------------------------------------
+#
+# The shape-driven matcher above is best-effort; published checkpoints get
+# exact per-family key maps so a wrong layer mapping fails loudly instead of
+# silently degrading metrics (reference utils/parameter_transfer.py:188-299
+# loads non-strict; we prefer strict for converters we ship).
+
+import re
+
+
+def pour_torch_keys(state, variables, key_map_fn, strict=True):
+    """Pour a torch state_dict into flax ``variables`` using an exact
+    per-key mapping.
+
+    Arguments
+    ---------
+    state : dict name -> np.ndarray (from load_torch_state_dict)
+    variables : nested dict with collections ("params", "batch_stats", ...)
+    key_map_fn : torch key -> "collection/a/b/leaf" string, or None to skip.
+    strict : raise if a mapped key is absent from the target or a source
+        key maps nowhere (excluding key_map_fn-skipped ones).
+
+    Layout: 2-D leaves are transposed when needed; 3-D conv weights
+    (out, in, K) -> (K, in, out); 4-D (out, in, H, W) -> (H, W, in, out).
+    """
+    flat = _flatten(variables)
+    result = dict(flat)
+    for key, src in state.items():
+        dst = key_map_fn(key)
+        if dst is None:
+            continue
+        path = tuple(dst.split("/"))
+        if path not in flat:
+            if strict:
+                raise KeyError(f"{key} -> {dst}: target leaf missing")
+            continue
+        tgt = np.asarray(flat[path])
+        for cand in _candidate_transposes(np.asarray(src), tgt.shape):
+            result[path] = np.asarray(cand, dtype=tgt.dtype)
+            break
+        else:
+            raise ValueError(
+                f"{key} -> {dst}: no layout {src.shape} -> {tgt.shape}"
+            )
+    return _unflatten(result)
+
+
+def ecapa_key_map(key):
+    """Reference ECAPA_TDNN state_dict key -> flax path in our ECAPA_TDNN
+    (lobes/models/ECAPA_TDNN.py). Reference module tree:
+    blocks.{i}.(conv|norm|tdnn1|res2net_block|tdnn2|se_block|shortcut),
+    mfa, asp.(tdnn|conv), asp_bn, fc (ref ECAPA_TDNN.py:420-560)."""
+    if key.endswith("num_batches_tracked"):
+        return None
+    k = re.sub(r"^blocks\.(\d+)\.", r"block_\1.", key)
+    k = re.sub(
+        r"\.res2net_block\.blocks\.(\d+)\.",
+        lambda m: f".res2net.block_{int(m.group(1)) + 1}.",
+        k,
+    )
+    k = k.replace(".se_block.", ".se.")
+    k = k.replace(".conv.conv.", ".conv.")
+    k = k.replace(".conv1.conv.", ".conv1.")
+    k = k.replace(".conv2.conv.", ".conv2.")
+    k = k.replace(".norm.norm.", ".norm.BatchNorm_0.")
+    k = re.sub(r"^asp_bn\.norm\.", "asp_bn.BatchNorm_0.", k)
+    k = re.sub(r"^fc\.conv\.", "fc.", k)
+    k = re.sub(r"\.shortcut\.conv\.", ".shortcut.", k)
+    if k.endswith(".running_mean"):
+        return "batch_stats/" + k[: -len(".running_mean")].replace(".", "/") + "/mean"
+    if k.endswith(".running_var"):
+        return "batch_stats/" + k[: -len(".running_var")].replace(".", "/") + "/var"
+    if k.endswith(".weight"):
+        stem = k[: -len(".weight")]
+        leaf = "scale" if "BatchNorm_0" in stem else "kernel"
+        return "params/" + stem.replace(".", "/") + "/" + leaf
+    if k.endswith(".bias"):
+        return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
+    return None
+
+
+def ecapa_classifier_key_map(key):
+    """Reference ECAPA Classifier (ECAPA_TDNN.py:562) -> our Classifier.
+    Reference: blocks.{i}.(linear|norm), weight (the AAM class matrix)."""
+    if key.endswith("num_batches_tracked"):
+        return None
+    if key == "weight":
+        return "params/weight"
+    k = re.sub(r"^blocks\.(\d+)\.linear\.w\.", r"linear_\1.", key)
+    k = re.sub(r"^blocks\.(\d+)\.norm\.norm\.", r"norm_\1.BatchNorm_0.", k)
+    if k.endswith(".running_mean"):
+        return "batch_stats/" + k[: -len(".running_mean")].replace(".", "/") + "/mean"
+    if k.endswith(".running_var"):
+        return "batch_stats/" + k[: -len(".running_var")].replace(".", "/") + "/var"
+    if k.endswith(".weight"):
+        stem = k[: -len(".weight")]
+        leaf = "scale" if "BatchNorm_0" in stem else "kernel"
+        return "params/" + stem.replace(".", "/") + "/" + leaf
+    if k.endswith(".bias"):
+        return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
+    return None
