@@ -1,120 +1,66 @@
-"""Benchmark: mel-frontend (Fbank) throughput on the real TPU chip.
+"""Benchmark: flagship Conformer-ASR inference pipeline on the real TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for
+the full pipeline (fbank -> stride-4 conv frontend -> 12-layer Conformer
+encoder -> CTC argmax) — the `transcribe_batch` throughput north star
+(BASELINE.md). ``vs_baseline`` is the speedup over THE REFERENCE ITSELF
+(`/root/reference` speechbrain, torch) running the identical pipeline on
+this container's CPU — the reference's actual compute substrate here.
 
-The reference publishes no throughput numbers (SURVEY.md §6); the
-baseline here is the same Fbank pipeline computed with torch (CPU) —
-the reference's actual compute substrate in this container — so
-vs_baseline = TPU speedup over the reference implementation's
-throughput on the available hardware.
+Flags:
+  --fbank    mel-frontend microbench (vs torch-CPU STFT+mel pipeline)
+  --decode   encoder + on-device transformer beam search (beam=4)
+  --bf16     run encoder params/activations in bfloat16
+  --no-baseline  skip the torch baseline (vs_baseline = null)
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
-BATCH = 64
-SECONDS = 10.0
 SR = 16000
 N_MELS = 80
-ITERS = 20
+
+# flagship config: conformer-small-ish, the recipe-accurate inference stack
+ASR = dict(
+    batch=16, seconds=10.0, vocab=5000, d_model=256, nhead=4, layers=12,
+    d_ffn=1024, kernel_size=31,
+)
 
 
-def bench_tpu():
+def _build_jax_pipeline(bf16=False):
     import jax
     import jax.numpy as jnp
 
     from speechbrain_tpu.lobes.features import Fbank
-
-    fbank = Fbank(n_mels=N_MELS)
-    wavs = jnp.asarray(
-        np.random.default_rng(0).standard_normal((BATCH, int(SR * SECONDS))),
-        dtype=jnp.float32,
+    from speechbrain_tpu.lobes.models.convolution import ConvolutionFrontEnd
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR,
     )
-    fn = jax.jit(fbank.__call__)
-    out = fn(wavs)
-    out.block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(wavs)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-    audio_seconds = BATCH * SECONDS
-    return audio_seconds / dt  # audio-seconds processed per wall-second
-
-
-def bench_torch_reference():
-    """The same pipeline with torch CPU ops (the reference's stack here)."""
-    try:
-        import torch
-    except ImportError:
-        return None
-    from speechbrain_tpu.processing.features import mel_filterbank_matrix
-
-    mel = torch.from_numpy(
-        np.asarray(mel_filterbank_matrix(N_MELS, 400, SR, 0, SR // 2))
-    )
-    window = torch.hamming_window(400)
-    wavs = torch.randn(BATCH, int(SR * SECONDS))
-
-    def run():
-        spec = torch.stft(
-            wavs, 400, 160, 400, window, center=True, pad_mode="constant",
-            return_complex=True,
-        )
-        ps = spec.real**2 + spec.imag**2  # (B, F, T)
-        fb = torch.matmul(ps.transpose(1, 2), mel)
-        out = 10.0 * torch.log10(torch.clamp(fb, min=1e-10))
-        return out
-
-    run()  # warmup
-    iters = 5
-    # best-of-3 trials: CPU timings jitter with background load, and an
-    # inflated baseline would overstate vs_baseline
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            run()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return BATCH * SECONDS / best
-
-
-def bench_asr(batch=16, seconds=10.0, bf16=False):
-    """Full ASR inference pipeline: fbank -> Conformer encoder -> CTC
-    greedy argmax, on-device. Returns audio-seconds processed per second
-    (the 'transcribe_batch' throughput north star; RTF = 1/value*batch).
-    With ``bf16`` the encoder params + activations run in bfloat16 (the
-    MXU-native dtype); the frontend and argmax stay fp32."""
-    import jax
-    import jax.numpy as jnp
-
-    from speechbrain_tpu.lobes.features import Fbank
-    from speechbrain_tpu.lobes.models.transformer.TransformerASR import TransformerASR
     from speechbrain_tpu.nnet.linear import Linear
 
-    from speechbrain_tpu.lobes.models.convolution import ConvolutionFrontEnd
-
-    fbank = Fbank(n_mels=80)
-    # stride-4 conv frontend, like the reference's conformer recipes:
-    # the encoder runs at 25 Hz, not 100 Hz
+    fbank = Fbank(n_mels=N_MELS)
     frontend = ConvolutionFrontEnd(
         num_blocks=2, out_channels=(64, 32), kernel_sizes=(3, 3),
         strides=(2, 2),
     )
     net = TransformerASR(
-        tgt_vocab=5000, input_size=640, d_model=256, nhead=4,
-        num_encoder_layers=12, num_decoder_layers=0, d_ffn=1024,
+        tgt_vocab=ASR["vocab"], input_size=640, d_model=ASR["d_model"],
+        nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
+        num_decoder_layers=0, d_ffn=ASR["d_ffn"],
         encoder_module="conformer", attention_type="RelPosMHAXL",
-        kernel_size=31,
+        kernel_size=ASR["kernel_size"],
     )
-    lin = Linear(n_neurons=5000)
+    lin = Linear(n_neurons=ASR["vocab"])
     wavs = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, int(SR * seconds))),
+        np.random.default_rng(0).standard_normal(
+            (ASR["batch"], int(SR * ASR["seconds"]))
+        ),
         jnp.float32,
     )
-    lens = jnp.ones((batch,))
+    lens = jnp.ones((ASR["batch"],))
     feats = fbank(wavs)
     rng = jax.random.PRNGKey(0)
     v_fe = frontend.init(rng, feats, train=False)
@@ -129,57 +75,235 @@ def bench_asr(batch=16, seconds=10.0, bf16=False):
         )
         v, v_lin, v_fe = cast(v), cast(v_lin), cast(v_fe)
 
-    @jax.jit
-    def pipeline(wavs, lens):
+    def encode(wavs, lens):
         feats = fbank(wavs)
         if bf16:
             feats = feats.astype(jnp.bfloat16)
         sub = frontend.apply(v_fe, feats, train=False)
-        enc = net.apply(v, sub, wav_len=lens, method="encode")
-        logits = lin.apply(v_lin, enc)
+        return net.apply(v, sub, wav_len=lens, method="encode")
+
+    def pipeline(wavs, lens):
+        logits = lin.apply(v_lin, encode(wavs, lens))
         return jnp.argmax(logits, axis=-1)
 
-    out = pipeline(wavs, lens)
+    return pipeline, encode, (net, v, lin, v_lin), wavs, lens
+
+
+def bench_asr(bf16=False):
+    """Full ASR inference pipeline throughput: audio-seconds per second."""
+    import jax
+
+    pipeline, _, _, wavs, lens = _build_jax_pipeline(bf16=bf16)
+    fn = jax.jit(pipeline)
+    out = fn(wavs, lens)
+    out.block_until_ready()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(wavs, lens)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return ASR["batch"] * ASR["seconds"] / dt
+
+
+def bench_asr_reference_torch():
+    """THE REFERENCE pipeline (same architecture/config) on torch CPU.
+
+    Imports `/root/reference`'s speechbrain with its optional IO deps
+    stubbed (they are unused on this path). Returns audio-s/s or None."""
+    import types
+
+    ref_path = "/root/reference"
+    try:
+        saved_modules = {}
+        for name, attrs in {
+            "hyperpyyaml": ["resolve_references", "load_hyperpyyaml",
+                            "dump_hyperpyyaml"],
+            "torchaudio": ["load", "save", "info"],
+        }.items():
+            if name in sys.modules:
+                continue
+            m = types.ModuleType(name)
+            for a in attrs:
+                setattr(m, a, lambda *x, **k: None)
+            if name == "torchaudio":
+                m.__version__ = "2.0.0"
+                tr = types.ModuleType("torchaudio.transforms")
+                m.transforms = tr
+                sys.modules["torchaudio.transforms"] = tr
+            sys.modules[name] = m
+            saved_modules[name] = m
+        sys.path.insert(0, ref_path)
+        import torch
+        from speechbrain.lobes.features import Fbank
+        from speechbrain.lobes.models.convolution import ConvolutionFrontEnd
+        from speechbrain.lobes.models.transformer.TransformerASR import (
+            TransformerASR,
+        )
+
+        # smaller batch, same per-sample shapes: CPU time scales linearly
+        batch, seconds = 4, ASR["seconds"]
+        fbank = Fbank(n_mels=N_MELS)
+        fe = ConvolutionFrontEnd(
+            input_shape=(8, 10, N_MELS, 1), num_blocks=2,
+            num_layers_per_block=1, out_channels=(64, 32),
+            kernel_sizes=(3, 3), strides=(2, 2), residuals=(False, False),
+        )
+        net = TransformerASR(
+            tgt_vocab=ASR["vocab"], input_size=640, d_model=ASR["d_model"],
+            nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
+            num_decoder_layers=0, d_ffn=ASR["d_ffn"],
+            encoder_module="conformer", attention_type="RelPosMHAXL",
+            kernel_size=ASR["kernel_size"], normalize_before=True,
+        )
+        lin = torch.nn.Linear(ASR["d_model"], ASR["vocab"])
+        wavs = torch.randn(batch, int(SR * seconds))
+        with torch.no_grad():
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                feats = fbank(wavs)
+                sub = fe(feats.unsqueeze(-1))
+                sub = sub.reshape(sub.shape[0], sub.shape[1], -1)
+                enc = net.encode(sub, torch.ones(batch))
+                lin(enc).argmax(-1)
+                best = min(best, time.perf_counter() - t0)
+        return batch * seconds / best
+    except Exception as e:
+        print(f"reference baseline unavailable: {e!r}", file=sys.stderr)
+        return None
+    finally:
+        if ref_path in sys.path:
+            sys.path.remove(ref_path)
+
+
+def bench_decode():
+    """Encoder + on-device transformer CTC-greedy-equivalent beam search
+    (beam=4) over a small vocab head: the transcribe_batch E2E path."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.decoders.seq2seq import S2STransformerBeamSearcher
+
+    _, encode, (net, v, lin, v_lin), wavs, lens = _build_jax_pipeline()
+    enc = jax.jit(encode)(wavs, lens)
+    enc.block_until_ready()
+
+    # a transformer-decoder stand-in: CTC head reinterpreted as a
+    # per-position LM over the encoder (keeps the bench self-contained
+    # while exercising the full fori_loop beam machinery + topk)
+    max_len = 64
+
+    def decode_fn(buf, enc_states, enc_lens):
+        # (N, L) tokens -> (N, L, V) log-probs from pooled encoder context
+        pooled = jnp.mean(enc_states, axis=1, keepdims=True)  # (N, 1, D)
+        logits = lin.apply(v_lin, pooled)  # (N, 1, V)
+        logits = jnp.tile(logits, (1, buf.shape[1], 1))
+        return jax.nn.log_softmax(logits, axis=-1), None
+
+    searcher = S2STransformerBeamSearcher(
+        decode_fn=decode_fn, max_length=max_len, bos_index=0, eos_index=0,
+        min_decode_ratio=0.0, max_decode_ratio=0.25, beam_size=4,
+    )
+    searcher(enc, lens)  # compile + run
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        searcher(enc, lens)
+    dt = (time.perf_counter() - t0) / iters
+    return ASR["batch"] * ASR["seconds"] / dt
+
+
+def bench_fbank_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.features import Fbank
+
+    batch, seconds, iters = 64, 10.0, 20
+    fbank = Fbank(n_mels=N_MELS)
+    wavs = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, int(SR * seconds))),
+        dtype=jnp.float32,
+    )
+    fn = jax.jit(fbank.__call__)
+    out = fn(wavs)
     out.block_until_ready()
     t0 = time.perf_counter()
-    iters = 10
     for _ in range(iters):
-        out = pipeline(wavs, lens)
+        out = fn(wavs)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     return batch * seconds / dt
 
 
-def main():
-    import sys
+def bench_fbank_torch():
+    """The same mel pipeline with torch CPU ops."""
+    try:
+        import torch
+    except ImportError:
+        return None
+    from speechbrain_tpu.processing.features import mel_filterbank_matrix
 
-    if "--asr" in sys.argv:
-        bf16 = "--bf16" in sys.argv
-        value = bench_asr(bf16=bf16)
-        print(
-            json.dumps(
-                {
-                    "metric": "conformer_asr_encode_throughput"
-                    + ("_bf16" if bf16 else ""),
-                    "value": round(value, 1),
-                    "unit": "audio_seconds_per_second",
-                    "vs_baseline": None,
-                }
-            )
+    batch, seconds = 64, 10.0
+    mel = torch.from_numpy(
+        np.asarray(mel_filterbank_matrix(N_MELS, 400, SR, 0, SR // 2))
+    )
+    window = torch.hamming_window(400)
+    wavs = torch.randn(batch, int(SR * seconds))
+
+    def run():
+        spec = torch.stft(
+            wavs, 400, 160, 400, window, center=True, pad_mode="constant",
+            return_complex=True,
         )
-        return
-    value = bench_tpu()
-    baseline = bench_torch_reference()
-    vs = value / baseline if baseline else None
+        ps = spec.real**2 + spec.imag**2  # (B, F, T)
+        fb = torch.matmul(ps.transpose(1, 2), mel)
+        return 10.0 * torch.log10(torch.clamp(fb, min=1e-10))
+
+    run()  # warmup
+    iters = 5
+    best = float("inf")
+    for _ in range(3):  # best-of-3: CPU timings jitter with load
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return batch * seconds / best
+
+
+def emit(metric, value, vs):
     print(
         json.dumps(
             {
-                "metric": "fbank_frontend_throughput",
+                "metric": metric,
                 "value": round(value, 1),
                 "unit": "audio_seconds_per_second",
                 "vs_baseline": round(vs, 2) if vs else None,
             }
         )
+    )
+
+
+def main():
+    if "--fbank" in sys.argv:
+        value = bench_fbank_tpu()
+        baseline = bench_fbank_torch()
+        emit("fbank_frontend_throughput", value,
+             value / baseline if baseline else None)
+        return
+    if "--decode" in sys.argv:
+        emit("conformer_asr_beam_decode_throughput", bench_decode(), None)
+        return
+    bf16 = "--bf16" in sys.argv
+    value = bench_asr(bf16=bf16)
+    baseline = None
+    if "--no-baseline" not in sys.argv:
+        baseline = bench_asr_reference_torch()
+    emit(
+        "conformer_asr_pipeline_throughput" + ("_bf16" if bf16 else ""),
+        value,
+        value / baseline if baseline else None,
     )
 
 
