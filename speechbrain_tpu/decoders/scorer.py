@@ -160,9 +160,12 @@ class CoverageScorer(BaseScorerInterface):
     (reference scorer.py:788). Full scorer: same penalty for all tokens
     except eos (no penalty)."""
 
-    def __init__(self, vocab_size, threshold=0.5):
+    def __init__(self, vocab_size, threshold=0.5, eos_index=None):
         self.vocab_size = vocab_size
         self.threshold = threshold
+        # eos gets no coverage penalty; default to the last vocab slot
+        # only when unspecified (pass the real eos_index in recipes)
+        self.eos_index = vocab_size - 1 if eos_index is None else eos_index
 
     def reset_mem(self, x, enc_lens):
         self.enc_len_frames = jnp.round(enc_lens * x.shape[1]).astype(jnp.int32)
@@ -180,7 +183,7 @@ class CoverageScorer(BaseScorerInterface):
         )
         penalty = penalty / jnp.maximum(self.enc_len_frames, 1)
         scores = -penalty[:, None] * jnp.ones((1, self.vocab_size))
-        scores = scores.at[:, -1].set(0.0)  # eos conventionally last? keep 0
+        scores = scores.at[:, self.eos_index].set(0.0)
         return scores, coverage
 
     def permute_mem(self, memory, index):
@@ -200,18 +203,52 @@ class LengthScorer(BaseScorerInterface):
         return None
 
 
-class KenLMScorer(BaseScorerInterface):
-    """n-gram LM scorer. The reference binds kenlm (C++); here the
-    pure-python BackoffNgramLM (speechbrain_tpu.lm.ngram) scores on host —
-    usable for rescoring, not inside the jitted loop. For in-loop n-gram
-    fusion, convert the ARPA to a dense tensor LM first
-    (speechbrain_tpu.lm.arpa.arpa_to_dense)."""
+class NgramDenseScorer(BaseScorerInterface):
+    """In-loop n-gram fusion over dense log10 score tensors (the jit-safe
+    replacement for the reference's kenlm binding, scorer.py:579).
 
-    def __init__(self, lm_path, vocab_size, token_list=None):
-        raise NotImplementedError(
-            "In-loop KenLM fusion requires a dense n-gram table; use "
-            "lm.arpa.arpa_to_dense + NgramDenseScorer, or rescoring."
-        )
+    Arguments
+    ---------
+    unigram : (V,) log10 unigram scores.
+    bigram : (V, V) log10 bigram scores with backoff applied, or None for
+        a unigram LM. Build both with ``lm.arpa.arpa_to_dense``.
+    """
+
+    LOG10 = 2.302585092994046  # convert ARPA log10 to natural log
+
+    def __init__(self, unigram, bigram=None):
+        self.unigram = jnp.asarray(unigram) * self.LOG10
+        self.bigram = None if bigram is None else jnp.asarray(bigram) * self.LOG10
+
+    def reset_mem(self, x, enc_lens):
+        # first step has no history: score with unigrams
+        return {"has_history": jnp.zeros((x.shape[0],), bool)}
+
+    def score(self, inp_tokens, memory, candidates, attn):
+        n = inp_tokens.shape[0]
+        uni = jnp.broadcast_to(self.unigram[None], (n, self.unigram.shape[0]))
+        if self.bigram is None:
+            scores = uni
+        else:
+            bi = self.bigram[inp_tokens]  # (n, V)
+            scores = jnp.where(memory["has_history"][:, None], bi, uni)
+        return scores, {"has_history": jnp.ones((n,), bool)}
+
+
+class KenLMScorer(NgramDenseScorer):
+    """ARPA n-gram scorer with the reference's KenLMScorer surface
+    (scorer.py:579): built from an ARPA file + token list. Orders > 2
+    need the host-side rescoring path (RescorerBuilder + BackoffNgramLM)."""
+
+    def __init__(self, lm_path, vocab_size, token_list):
+        from speechbrain_tpu.lm.arpa import arpa_to_dense
+
+        token_to_id = {t: i for i, t in enumerate(token_list)}
+        dense = arpa_to_dense(lm_path, token_to_id, vocab_size, max_order=2)
+        if isinstance(dense, tuple):
+            super().__init__(*dense)
+        else:
+            super().__init__(dense)
 
 
 class ScorerBuilder:
@@ -279,3 +316,173 @@ class ScorerBuilder:
             else:
                 out[name] = scorer.permute_mem(mem, index)
         return out
+
+
+# ---------------------------------------------------------------------------
+# N-best rescoring (second pass), reference scorer.py:1410-2068
+# ---------------------------------------------------------------------------
+
+class BaseRescorerInterface:
+    """Second-pass scorer over the beam searcher's n-best output
+    (reference BaseRescorerInterface, scorer.py:1410).
+
+    Implementations score COMPLETE hypotheses: ``rescore(tokens, lens)``
+    with tokens (N, L) int32 (bos/eos handled internally) returns (N,)
+    total LM log-probabilities. Everything runs as one batched jitted
+    forward — no per-hypothesis host loops.
+    """
+
+    def rescore(self, tokens, lens):
+        raise NotImplementedError
+
+    @staticmethod
+    def pad_topk(topk_hyps):
+        """Pack the beam searcher's return_topk hypothesis lists
+        (list[batch] of list[k] of token lists) into (B, K, L) arrays +
+        (B, K) lengths."""
+        B = len(topk_hyps)
+        K = max(len(row) for row in topk_hyps)
+        L = max((len(h) for row in topk_hyps for h in row), default=1) or 1
+        tokens = np.zeros((B, K, L), np.int32)
+        lens = np.zeros((B, K), np.int32)
+        for b, row in enumerate(topk_hyps):
+            for k, hyp in enumerate(row):
+                tokens[b, k, : len(hyp)] = hyp
+                lens[b, k] = len(hyp)
+        return tokens, lens
+
+
+class RNNLMRescorer(BaseRescorerInterface):
+    """N-best rescoring with an RNN LM (reference RNNLMRescorer :1540).
+
+    ``lm_fn(tokens (N, L), state)`` -> (logits (N, L, V), state) — the
+    full-sequence form (teacher-forced); ``lm_init(n)`` -> initial state.
+    """
+
+    def __init__(self, lm_fn, lm_init, bos_index, eos_index, pad_index=0,
+                 temperature=1.0):
+        self.lm_fn = lm_fn
+        self.lm_init = lm_init
+        self.bos_index = bos_index
+        self.eos_index = eos_index
+        self.pad_index = pad_index
+        self.temperature = temperature
+
+    def rescore(self, tokens, lens):
+        tokens = jnp.asarray(tokens, jnp.int32)
+        lens = jnp.asarray(lens, jnp.int32)
+        N, L = tokens.shape
+        # input: bos + tokens; target: tokens + eos
+        inp = jnp.concatenate(
+            [jnp.full((N, 1), self.bos_index, jnp.int32), tokens], axis=1
+        )
+        tgt = jnp.concatenate(
+            [tokens, jnp.full((N, 1), self.pad_index, jnp.int32)], axis=1
+        )
+        tgt = tgt.at[jnp.arange(N), lens].set(self.eos_index)
+        logits, _ = self.lm_fn(inp, self.lm_init(N))
+        logp = jax.nn.log_softmax(logits / self.temperature, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        mask = jnp.arange(L + 1)[None, :] <= lens[:, None]  # include eos slot
+        return jnp.sum(tok_lp * mask, axis=-1)
+
+
+class TransformerLMRescorer(BaseRescorerInterface):
+    """N-best rescoring with a causal transformer LM
+    (reference TransformerLMRescorer :1726). ``lm_fn(tokens (N, L))`` ->
+    logits (N, L, V)."""
+
+    def __init__(self, lm_fn, bos_index, eos_index, pad_index=0,
+                 temperature=1.0):
+        self.lm_fn = lm_fn
+        self.bos_index = bos_index
+        self.eos_index = eos_index
+        self.pad_index = pad_index
+        self.temperature = temperature
+
+    def rescore(self, tokens, lens):
+        tokens = jnp.asarray(tokens, jnp.int32)
+        lens = jnp.asarray(lens, jnp.int32)
+        N, L = tokens.shape
+        inp = jnp.concatenate(
+            [jnp.full((N, 1), self.bos_index, jnp.int32), tokens], axis=1
+        )
+        tgt = jnp.concatenate(
+            [tokens, jnp.full((N, 1), self.pad_index, jnp.int32)], axis=1
+        )
+        tgt = tgt.at[jnp.arange(N), lens].set(self.eos_index)
+        logits = self.lm_fn(inp)
+        logp = jax.nn.log_softmax(logits / self.temperature, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        mask = jnp.arange(L + 1)[None, :] <= lens[:, None]
+        return jnp.sum(tok_lp * mask, axis=-1)
+
+
+class NgramRescorer(BaseRescorerInterface):
+    """N-best rescoring with the host-side backoff n-gram LM (any order;
+    pairs with lm.ngram.BackoffNgramLM — the kenlm-rescorer analogue)."""
+
+    def __init__(self, lm, bos_token, eos_token, id_to_token):
+        self.lm = lm
+        self.bos = bos_token
+        self.eos = eos_token
+        self.id_to_token = id_to_token
+
+    def rescore(self, tokens, lens):
+        tokens = np.asarray(tokens)
+        lens = np.asarray(lens)
+        out = np.zeros((tokens.shape[0],), np.float32)
+        for i, (row, ln) in enumerate(zip(tokens, lens)):
+            seq = [self.bos] + [self.id_to_token[t] for t in row[:ln]] + [self.eos]
+            total = 0.0
+            for j in range(1, len(seq)):
+                context = tuple(seq[max(0, j - self.lm.top_order + 1): j])
+                total += self.lm.logprob(seq[j], context)
+            out[i] = total
+        return out
+
+
+class RescorerBuilder:
+    """Weight-combine first-pass beam scores with second-pass rescorers and
+    rerank the n-best lists (reference RescorerBuilder, scorer.py:1864).
+
+    Arguments
+    ---------
+    weights : dict name -> float
+    rescorers : dict name -> BaseRescorerInterface
+
+    Example flow: run a beam searcher with ``return_topk=True, topk=K``,
+    then ``rescore(topk_hyps, topk_scores)`` -> (best_hyps, best_scores).
+    """
+
+    def __init__(self, weights={}, rescorers={}):
+        self.weights = dict(weights)
+        self.rescorers = dict(rescorers)
+
+    def rescore(self, topk_hyps, topk_scores):
+        """topk_hyps: list[B] of list[K] token lists; topk_scores: matching
+        first-pass scores. Returns (hyps list[B], scores list[B],
+        reranked (topk_hyps, topk_scores))."""
+        tokens, lens = BaseRescorerInterface.pad_topk(topk_hyps)
+        B, K, L = tokens.shape
+        flat_tokens = tokens.reshape(B * K, L)
+        flat_lens = lens.reshape(B * K)
+        combined = np.asarray(
+            [[float(s) for s in row] for row in topk_scores], np.float32
+        )
+        for name, rescorer in self.rescorers.items():
+            lm_scores = np.asarray(
+                rescorer.rescore(flat_tokens, flat_lens)
+            ).reshape(B, K)
+            combined = combined + self.weights.get(name, 1.0) * lm_scores
+        order = np.argsort(-combined, axis=-1)
+        best_hyps, best_scores = [], []
+        rr_hyps, rr_scores = [], []
+        for b in range(B):
+            row = [topk_hyps[b][k] for k in order[b] if k < len(topk_hyps[b])]
+            srow = [float(combined[b, k]) for k in order[b] if k < len(topk_hyps[b])]
+            rr_hyps.append(row)
+            rr_scores.append(srow)
+            best_hyps.append(row[0])
+            best_scores.append(srow[0])
+        return best_hyps, best_scores, (rr_hyps, rr_scores)
