@@ -93,6 +93,37 @@ class EncoderASR(Pretrained):
         return predicted_words, predictions
 
 
+# Whisper language-name -> token-code map (the common subset of the 99
+# codes whisper's tokenizer defines; unknown names pass through as codes)
+_WHISPER_LANG_CODES = {
+    "english": "en", "chinese": "zh", "german": "de", "spanish": "es",
+    "russian": "ru", "korean": "ko", "french": "fr", "japanese": "ja",
+    "portuguese": "pt", "turkish": "tr", "polish": "pl", "catalan": "ca",
+    "dutch": "nl", "arabic": "ar", "swedish": "sv", "italian": "it",
+    "indonesian": "id", "hindi": "hi", "finnish": "fi", "vietnamese": "vi",
+    "hebrew": "he", "ukrainian": "uk", "greek": "el", "malay": "ms",
+    "czech": "cs", "romanian": "ro", "danish": "da", "hungarian": "hu",
+    "tamil": "ta", "norwegian": "no", "thai": "th", "urdu": "ur",
+    "croatian": "hr", "bulgarian": "bg", "lithuanian": "lt", "latin": "la",
+    "maori": "mi", "malayalam": "ml", "welsh": "cy", "slovak": "sk",
+    "telugu": "te", "persian": "fa", "latvian": "lv", "bengali": "bn",
+    "serbian": "sr", "azerbaijani": "az", "slovenian": "sl", "kannada": "kn",
+    "estonian": "et", "macedonian": "mk", "breton": "br", "basque": "eu",
+    "icelandic": "is", "armenian": "hy", "nepali": "ne", "mongolian": "mn",
+    "bosnian": "bs", "kazakh": "kk", "albanian": "sq", "swahili": "sw",
+    "galician": "gl", "marathi": "mr", "punjabi": "pa", "sinhala": "si",
+    "khmer": "km", "shona": "sn", "yoruba": "yo", "somali": "so",
+    "afrikaans": "af", "occitan": "oc", "georgian": "ka", "belarusian": "be",
+    "tajik": "tg", "sindhi": "sd", "gujarati": "gu", "amharic": "am",
+    "yiddish": "yi", "lao": "lo", "uzbek": "uz", "faroese": "fo",
+    "haitian creole": "ht", "pashto": "ps", "turkmen": "tk", "nynorsk": "nn",
+    "maltese": "mt", "sanskrit": "sa", "luxembourgish": "lb", "myanmar": "my",
+    "tibetan": "bo", "tagalog": "tl", "malagasy": "mg", "assamese": "as",
+    "tatar": "tt", "hawaiian": "haw", "lingala": "ln", "hausa": "ha",
+    "bashkir": "ba", "javanese": "jw", "sundanese": "su", "cantonese": "yue",
+}
+
+
 @dataclasses.dataclass
 class ASRWhisperSegment:
     """One audio chunk flowing through Whisper transcription
@@ -111,12 +142,17 @@ class ASRWhisperSegment:
 
 class WhisperASR(Pretrained):
     """Whisper transcription over the Flax Whisper wrapper
-    (reference WhisperASR at ASR.py:~440).
+    (reference WhisperASR at ASR.py:431-977).
 
     hparams: whisper (integrations.huggingface.whisper.Whisper),
-    optionally language/task. ``transcribe_batch(wavs, wav_lens)``
-    greedy-decodes; ``transcribe_file`` chunks a long file into
-    30-second segments and returns ASRWhisperSegment records.
+    optionally language ("english", "french", ... or "<|en|>" codes),
+    task ("transcribe"/"translate"), beam_size (0/1 = jitted greedy,
+    >1 = jitted batched beam search). ``transcribe_batch(wavs,
+    wav_lens)`` decodes on-device via the fixed-buffer fori_loop
+    searchers (decoders/seq2seq.py S2SWhisperGreedy/BeamSearcher);
+    ``transcribe_file`` chunks a long file into 30-second segments and
+    returns ASRWhisperSegment records. ``detect_language`` mirrors the
+    reference's first-token language id.
     """
 
     HPARAMS_NEEDED = ["whisper"]
@@ -125,38 +161,128 @@ class WhisperASR(Pretrained):
     SAMPLE_RATE = 16000
     CHUNK_S = 30.0
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._searcher = None
+
+    # -- prompt / token plumbing ---------------------------------------
+    def _tok(self):
+        tok = self.hparams.whisper.tokenizer
+        if tok is None:
+            raise RuntimeError(
+                "WhisperASR needs whisper.tokenizer (set tokenizer_source)"
+            )
+        return tok
+
+    def _special_id(self, token):
+        tid = self._tok().convert_tokens_to_ids(token)
+        unk = self._tok().unk_token_id
+        return None if tid is None or tid == unk else int(tid)
+
+    def _language_token(self, language):
+        if language is None:
+            return None
+        lang = language.strip().lower()
+        if not lang.startswith("<|"):
+            # map full names ("english") to codes via the generation map
+            code = _WHISPER_LANG_CODES.get(lang, lang)
+            lang = f"<|{code}|>"
+        return self._special_id(lang)
+
+    def _prompt_ids(self, language=None, task=None):
+        """[sot (+lang +task) +notimestamps], dropping ids the tokenizer
+        doesn't know (English-only checkpoints have no lang/task tokens)."""
+        ids = [self._special_id("<|startoftranscript|>")]
+        lang_id = self._language_token(
+            language or getattr(self.hparams, "language", None)
+        )
+        if lang_id is not None:
+            ids.append(lang_id)
+            task = task or getattr(self.hparams, "task", "transcribe")
+            task_id = self._special_id(f"<|{task}|>")
+            if task_id is not None:
+                ids.append(task_id)
+        nots = self._special_id("<|notimestamps|>")
+        if nots is not None:
+            ids.append(nots)
+        return [i for i in ids if i is not None]
+
+    def _suppress_ids(self):
+        """Timestamp + non-speech special tokens blocked during decoding
+        (the reference relies on whisper's suppress_tokens config)."""
+        tok = self._tok()
+        sup = []
+        gen = getattr(self.hparams.whisper.model, "generation_config", None)
+        for attr in ("suppress_tokens", "begin_suppress_tokens"):
+            vals = getattr(gen, attr, None) if gen is not None else None
+            if vals:
+                sup.extend(int(v) for v in vals)
+        # always suppress sot/nospeech so they can't be re-emitted
+        for t in ("<|startoftranscript|>", "<|nospeech|>", "<|nocaptions|>"):
+            tid = self._special_id(t)
+            if tid is not None:
+                sup.append(tid)
+        return sorted(set(sup))
+
+    def _make_searcher(self, language=None, task=None):
+        from speechbrain_tpu.decoders.seq2seq import (
+            S2SWhisperBeamSearcher,
+            S2SWhisperGreedySearcher,
+        )
+
+        whisper = self.hparams.whisper
+        prompt = self._prompt_ids(language, task)
+        eos = int(self._tok().eos_token_id)
+        beam_size = int(getattr(self.hparams, "beam_size", 1) or 1)
+        max_gen = int(getattr(self.hparams, "max_gen_tokens", 224))
+        common = dict(
+            model=whisper, prompt_ids=prompt, eos_index=eos,
+            suppress_ids=self._suppress_ids(), max_gen_tokens=max_gen,
+        )
+        if beam_size > 1:
+            return S2SWhisperBeamSearcher(beam_size=beam_size, **common)
+        return S2SWhisperGreedySearcher(**common)
+
+    # -- public API -----------------------------------------------------
     def encode_batch(self, wavs, wav_lens=None):
         """Whisper encoder states for padded audio."""
         return self.hparams.whisper.forward_encoder(jnp.asarray(wavs))
 
-    def transcribe_batch(self, wavs, wav_lens=None, max_tokens=224):
-        """Greedy decode; returns (texts, token id lists)."""
-        whisper = self.hparams.whisper
-        enc = self.encode_batch(wavs, wav_lens)
-        tok = whisper.tokenizer
-        import numpy as np
+    def detect_language(self, wavs):
+        """Most likely language token per utterance (reference
+        ASR.py:520): one decoder step from <|startoftranscript|>,
+        restricted to language tokens. Returns (codes, ids)."""
+        tok = self._tok()
+        enc = self.encode_batch(wavs)
+        sot = self._special_id("<|startoftranscript|>")
+        buf = jnp.full((enc.shape[0], 1), sot, jnp.int32)
+        logits = self.hparams.whisper.forward_decoder(enc, buf)[:, 0]
+        lang_ids = [
+            self._special_id(f"<|{c}|>") for c in _WHISPER_LANG_CODES.values()
+        ]
+        lang_ids = jnp.asarray([i for i in lang_ids if i is not None])
+        if lang_ids.size == 0:
+            return ["<|en|>"] * enc.shape[0], [None] * enc.shape[0]
+        lang_logits = logits[:, lang_ids]
+        best = jnp.argmax(lang_logits, axis=-1)
+        ids = [int(lang_ids[int(b)]) for b in np.asarray(best)]
+        return [tok.convert_ids_to_tokens(i) for i in ids], ids
 
-        prompt = tok.convert_tokens_to_ids(
-            ["<|startoftranscript|>"]
+    def transcribe_batch(self, wavs, wav_lens=None, language=None,
+                         task=None):
+        """On-device decode; returns (texts, token id lists)."""
+        tok = self._tok()
+        if self._searcher is None or language is not None or task is not None:
+            self._searcher = self._make_searcher(language, task)
+        enc = self.encode_batch(wavs, wav_lens)
+        lens = jnp.ones((enc.shape[0],)) if wav_lens is None else jnp.asarray(
+            wav_lens
         )
-        B = enc.shape[0]
-        ids = jnp.tile(jnp.asarray(prompt, jnp.int32)[None], (B, 1))
-        eos = tok.eos_token_id
-        finished = np.zeros(B, bool)
-        for _ in range(max_tokens):
-            logits = whisper.forward_decoder(enc, ids)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            ids = jnp.concatenate([ids, nxt[:, None]], axis=1)
-            finished |= np.asarray(nxt) == eos
-            if finished.all():
-                break
-        texts, token_lists = [], []
-        for row in np.asarray(ids):
-            toks = [int(t) for t in row[len(prompt):]
-                    if int(t) != eos]
-            token_lists.append(toks)
-            texts.append(tok.decode(toks, skip_special_tokens=True).strip())
-        return texts, token_lists
+        hyps, _lens, _scores, _ = self._searcher(enc, lens)
+        texts = [
+            tok.decode(h, skip_special_tokens=True).strip() for h in hyps
+        ]
+        return texts, hyps
 
     def transcribe_file(self, path, **kwargs):
         """Chunk a long file into 30 s segments and transcribe each."""
@@ -179,27 +305,135 @@ class WhisperASR(Pretrained):
         return segments
 
 
-class SpeechLLMASR(Pretrained):
-    """Speech-conditioned LLM transcription (reference SpeechLLMASR):
-    an audio encoder projects speech into the LLM's embedding space,
-    then the LLM continues from a transcription prompt.
+class SpeechLLMGreedySearcher:
+    """Jitted greedy generation over an embeddings-prefix causal LM —
+    the default ``searcher`` module for SpeechLLMASR (the TPU-native
+    replacement for the reference's LLM generate loop).
 
-    hparams: encoder (wav -> (B, T', D) features), projector (features ->
-    LLM embed dim), llm (causal LM wrapper with ``generate_greedy``),
-    tokenizer.
+    Arguments
+    ---------
+    llm_embeds_fn : callable (B, T, D) embeds -> (B, T, V) logits.
+    embed_fn : callable (B,) int32 token ids -> (B, D) embeddings.
+    eos_index : int
+    max_new_tokens : int
     """
 
-    HPARAMS_NEEDED = ["encoder", "projector", "llm", "tokenizer"]
-    MODULES_NEEDED = []
+    def __init__(self, llm_embeds_fn, embed_fn, eos_index,
+                 max_new_tokens=64):
+        self.llm_embeds_fn = llm_embeds_fn
+        self.embed_fn = embed_fn
+        self.eos_index = eos_index
+        self.max_new_tokens = max_new_tokens
 
-    def transcribe_batch(self, wavs, wav_lens=None, max_new_tokens=64):
-        """Encode audio, prefix with the prompt, greedy-generate text."""
-        feats = self.hparams.encoder(jnp.asarray(wavs), wav_lens)
-        _ = self.hparams.projector(feats)
-        # The LLM consumes projected audio embeddings as a prefix; the
-        # concrete fusion depends on the checkpoint's architecture and is
-        # delegated to the hparams-provided llm wrapper.
-        raise NotImplementedError(
-            "SpeechLLMASR requires a checkpoint-specific fusion; provide "
-            "an hparams 'fuse' callable or subclass transcribe_batch."
+    def __call__(self, multimodal_embds, wav_lens=None, attention_mask=None):
+        import jax
+
+        B, T0, D = multimodal_embds.shape
+        N = self.max_new_tokens
+        buf = jnp.concatenate(
+            [multimodal_embds, jnp.zeros((B, N, D), multimodal_embds.dtype)],
+            axis=1,
         )
+
+        def body(carry, i):
+            buf, finished = carry
+            logits = self.llm_embeds_fn(buf)
+            step_logits = jax.lax.dynamic_slice_in_dim(
+                logits, T0 - 1 + i, 1, axis=1
+            )[:, 0]
+            nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(finished, self.eos_index, nxt)
+            finished = jnp.logical_or(finished, nxt == self.eos_index)
+            emb = self.embed_fn(nxt)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, emb[:, None, :], T0 + i, axis=1
+            )
+            return (buf, finished), nxt
+
+        (_, _), tokens = jax.lax.scan(
+            body, (buf, jnp.zeros((B,), bool)), jnp.arange(N)
+        )
+        tokens = np.asarray(jnp.moveaxis(tokens, 0, 1))  # (B, N)
+        hyps, _ = _trim_rows(tokens, self.eos_index)
+        return hyps, None
+
+
+def _trim_rows(tokens, eos):
+    hyps, lens = [], []
+    for row in tokens:
+        row = row.tolist()
+        if eos in row:
+            row = row[: row.index(eos)]
+        hyps.append(row)
+        lens.append(len(row))
+    return hyps, lens
+
+
+class SpeechLLMASR(Pretrained):
+    """Speech-conditioned LLM transcription (reference ASR.py:1366):
+    audio -> speech_encoder -> feat_downsampler -> proj into the LLM's
+    embedding space; projected features are wrapped in
+    ``<|start_of_audio|> ... <|end_of_audio|> prompt bos`` embeddings and
+    the searcher module generates the transcript with the LLM decoder.
+
+    modules: speech_encoder, feat_downsampler, proj, llm, normalize,
+    searcher (e.g. SpeechLLMGreedySearcher). The llm module must expose
+    ``tokenizer`` and ``embed_tokens(ids) -> embeddings``.
+    """
+
+    HPARAMS_NEEDED = ["bos_index", "eos_index", "prompt"]
+    MODULES_NEEDED = [
+        "speech_encoder", "feat_downsampler", "proj", "llm", "normalize",
+        "searcher",
+    ]
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.tokenizer = self.mods.llm.tokenizer
+
+    def build_multimodal_embds(self, audio_feats):
+        """<|start_of_audio|> + audio + <|end_of_audio|> + prompt + bos
+        as one embedding sequence (reference ASR.py:1413)."""
+        tok = self.tokenizer
+        prompt_ids = tok(self.hparams.prompt, add_special_tokens=False)[
+            "input_ids"
+        ]
+        soa = tok.convert_tokens_to_ids("<|start_of_audio|>")
+        eoa = tok.convert_tokens_to_ids("<|end_of_audio|>")
+        ids = jnp.asarray(
+            [soa] + [eoa] + list(prompt_ids) + [self.hparams.bos_index],
+            jnp.int32,
+        )
+        B = audio_feats.shape[0]
+        embds = self.mods.llm.embed_tokens(ids)  # (P, D)
+        embds = jnp.broadcast_to(embds[None], (B,) + embds.shape)
+        multimodal = jnp.concatenate(
+            [embds[:, :1], audio_feats, embds[:, 1:]], axis=1
+        )
+        mask = jnp.ones(multimodal.shape[:2], bool)
+        return multimodal, mask
+
+    def encode_batch(self, wavs, wav_lens):
+        wavs = self.mods.normalize(jnp.asarray(wavs), wav_lens)
+        return self.mods.speech_encoder(wavs, wav_lens)
+
+    def transcribe_batch(self, wavs, wav_lens):
+        encoder_out = self.encode_batch(wavs, wav_lens)
+        audio_down = self.mods.feat_downsampler(encoder_out)
+        audio_feats = self.mods.proj(audio_down)
+        embds, mask = self.build_multimodal_embds(audio_feats)
+        hyps = self.mods.searcher(embds, wav_lens, mask)
+        predicted_tokens = hyps[0]
+        predicted_words = [
+            self.tokenizer.decode(t, skip_special_tokens=True)
+            for t in predicted_tokens
+        ]
+        return predicted_words, predicted_tokens
+
+    def transcribe_file(self, path, **kwargs):
+        waveform = self.load_audio(path, **kwargs)
+        words, _ = self.transcribe_batch(waveform[None], jnp.ones(1))
+        return words[0]
+
+    def forward(self, wavs, wav_lens):
+        return self.transcribe_batch(wavs, wav_lens)

@@ -41,6 +41,17 @@ class Llama(HFTransformersInterface):
         )
         return out.logits if self.with_lm_head else out.last_hidden_state
 
+    def embed_tokens(self, ids):
+        """Token ids -> input embeddings (the LLM's embedding table);
+        used by SpeechLLMASR to build multimodal prefixes."""
+        params = self.params
+        table = params.get("model", params).get("embed_tokens", {}).get(
+            "embedding"
+        )
+        if table is None:
+            raise RuntimeError("No embed_tokens table in params")
+        return jnp.take(jnp.asarray(table), jnp.asarray(ids), axis=0)
+
     def generate_greedy(self, input_ids, max_new_tokens=32,
                         eos_token_id=None):
         """Greedy continuation (host loop over jitted steps)."""
