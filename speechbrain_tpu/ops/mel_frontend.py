@@ -12,17 +12,18 @@ TPU alignment notes: all matmul dims are padded to lane multiples
 adjacent frame blocks is delivered as a second, tail input block so no
 manual (unaligned) DMA is needed — Pallas double-buffers both inputs.
 
-KNOWN LIMITATION (this Mosaic toolchain): the in-kernel framing loads
-VMEM slices at offsets i*hop; with the standard hop of 160 samples the
-lane offset is not 128-aligned and Mosaic rejects the vector load
-("cannot statically prove that index ... is a multiple of 128").
-``fused_fbank`` therefore compiles on TPU only when ``hop_length % 128
-== 0``; otherwise use the default unfused path
-(``lobes.features.Fbank(fused=False)``), whose window-folded matmul-DFT
-formulation XLA already fuses well (measured 274x the torch-CPU
-reference pipeline on v5e). The kernel remains numerically validated in
-interpret mode (1.3e-5 vs the unfused path) and serves aligned-hop
-configurations.
+Unaligned hops (e.g. the standard 160) are handled by phase-grouped
+framing: frame starts i*hop fall into lcm(hop,128)/hop classes by their
+offset mod 128; one ``pltpu.roll`` per class realigns the buffer so
+every VMEM frame load is 128-aligned (Mosaic rejects unaligned vector
+loads). 4 rolls per block for hop=160 — cheap VPU work next to the
+three MXU matmuls.
+
+MEASURED (v5e, 64x10s fp32, hop=160): fused kernel 165k audio-s/s vs
+247k for the unfused window-folded matmul-DFT that XLA fuses itself —
+the roll+copy framing costs more than it saves at this arithmetic
+intensity, so ``Fbank(fused=False)`` stays the default; the kernel is
+kept for aligned-hop configs and as the base for deeper fusions.
 
 The per-sequence top_db clamp needs a global max over frames, so it is
 applied outside on the (small) output.
@@ -38,9 +39,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _lcm(a, b):
+    return a * b // math.gcd(a, b)
+
+
 def _mel_kernel(
     x_ref, tail_ref, cos_ref, sin_ref, mel_ref, out_ref, frames_scratch,
-    wav_scratch,
+    wav_scratch, roll_scratch,
     *, frames_per_block, n_fft_pad, hop, amin, multiplier, db_offset,
 ):
     # x_ref: (1, 1, FB*hop); tail_ref: (1, 1, n_fft_pad) — next block's head
@@ -48,11 +53,37 @@ def _mel_kernel(
     wav_scratch[0, :block_main] = x_ref[0, 0]
     wav_scratch[0, block_main:] = tail_ref[0, 0]
 
-    def fill_frame(i, _):
-        frames_scratch[i, :] = wav_scratch[0, pl.ds(i * hop, n_fft_pad)]
-        return 0
+    # Frame starts i*hop are not lane-aligned for arbitrary hop. Group
+    # frames by start offset mod 128: within phase class s the starts are
+    # s*hop + q*lcm(hop,128), so rolling the buffer left by (s*hop % 128)
+    # lanes makes every class-s load 128-aligned — `period` rolls total
+    # (4 for the standard hop of 160) instead of per-frame unaligned DMA.
+    # The rolled buffer is staged through a scratch ref because Mosaic
+    # only lowers dynamic slices on refs, with pl.multiple_of alignment.
+    period = _lcm(hop, 128) // hop
+    stride = period * hop  # multiple of 128
+    groups = frames_per_block // period
+    L = block_main + n_fft_pad
+    for s in range(period):
+        shift = (s * hop) % 128
+        base = s * hop - shift  # multiple of 128
+        src = wav_scratch
+        if shift:
+            # left-roll by `shift` == forward roll by L - shift (roll
+            # requires a non-negative shift)
+            roll_scratch[:] = pltpu.roll(
+                wav_scratch[:], shift=L - shift, axis=1
+            )
+            src = roll_scratch
 
-    jax.lax.fori_loop(0, frames_per_block, fill_frame, 0)
+        def fill_frame(q, _, src=src, s=s, base=base):
+            off = pl.multiple_of(q * stride + base, 128)
+            frames_scratch[pl.ds(s + q * period, 1), :] = (
+                src[:, pl.ds(off, n_fft_pad)]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, groups, fill_frame, 0)
     frames = frames_scratch[:]
     real = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
     imag = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
@@ -98,8 +129,13 @@ def fused_fbank(
     n_freq_pad = -(-n_freq // 128) * 128
     n_mels_pad = -(-n_mels // 128) * 128
     # frames-per-block must make the block wav length a multiple of the
-    # tail block size so the tail's BlockSpec indexing lines up
-    while (frames_per_block * hop_length) % n_fft_pad != 0:
+    # tail block size so the tail's BlockSpec indexing lines up, and a
+    # multiple of the alignment period so phase classes tile evenly
+    period = _lcm(hop_length, 128) // hop_length
+    while (
+        (frames_per_block * hop_length) % n_fft_pad != 0
+        or frames_per_block % period != 0
+    ):
         frames_per_block += 1
     block_main = frames_per_block * hop_length
     tail_ratio = block_main // n_fft_pad
@@ -169,6 +205,7 @@ def fused_fbank(
         ),
         scratch_shapes=[
             pltpu.VMEM((frames_per_block, n_fft_pad), jnp.float32),
+            pltpu.VMEM((1, block_main + n_fft_pad), jnp.float32),
             pltpu.VMEM((1, block_main + n_fft_pad), jnp.float32),
         ],
         interpret=interpret,
