@@ -128,3 +128,65 @@ class MaskNet(nn.Module):
         if self.mask_nonlinear == "softmax":
             return jax.nn.softmax(y, axis=1)
         return jax.nn.relu(y)
+
+
+class Encoder(nn.Module):
+    """ConvTasNet adaptive frontend (reference conv_tasnet.py:13):
+    (B, T) waveform -> (B, K, N) non-negative basis coefficients with
+    50% frame overlap (stride L/2).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> enc = Encoder(L=16, N=8)
+    >>> x = jnp.ones((2, 160))
+    >>> v = enc.init(jax.random.PRNGKey(0), x)
+    >>> enc.apply(v, x).shape
+    (2, 19, 8)
+    """
+
+    L: int  # frame length (samples)
+    N: int  # basis channels
+
+    @nn.compact
+    def __call__(self, mixture):
+        x = mixture[..., None]  # (B, T, 1)
+        y = Conv1d(
+            self.N, self.L, stride=self.L // 2, padding="valid",
+            bias=False, name="conv1d_U",
+        )(x)
+        return jax.nn.relu(y)
+
+
+class Decoder(nn.Module):
+    """ConvTasNet decoder (reference conv_tasnet.py:62): masked basis
+    coefficients -> waveforms by linear basis + overlap-add.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> dec = Decoder(L=16, N=8)
+    >>> w = jnp.ones((2, 19, 8)); m = jnp.ones((2, 2, 19, 8))
+    >>> v = dec.init(jax.random.PRNGKey(0), w, m)
+    >>> dec.apply(v, w, m).shape
+    (2, 160, 2)
+    """
+
+    L: int
+    N: int
+
+    @nn.compact
+    def __call__(self, mixture_w, est_mask):
+        # mixture_w (B, K, N); est_mask (B, C, K, N)
+        from speechbrain_tpu.processing.signal_processing import (
+            overlap_and_add,
+        )
+
+        source_w = mixture_w[:, None] * est_mask  # (B, C, K, N)
+        frames = nn.Dense(self.L, use_bias=False, name="basis_signals")(
+            source_w
+        )  # (B, C, K, L)
+        Bsz, C, K, L = frames.shape
+        est = overlap_and_add(frames.reshape(Bsz * C, K, L), self.L // 2)
+        est = est.reshape(Bsz, C, -1)
+        return jnp.moveaxis(est, 1, 2)  # (B, T, C)
