@@ -40,17 +40,124 @@ class VAD(Pretrained):
 
     def get_speech_prob_file(self, audio_file, large_chunk_size=30,
                              small_chunk_size=10, overlap_small_chunk=False):
-        """Posteriors over a whole file, processed in chunks."""
+        """Posteriors over a whole file, processed in chunks. With
+        ``overlap_small_chunk`` the small chunks overlap 50% and are
+        recombined with hamming weights (reference
+        VAD.py:_manage_overlapped_chunks) to smooth boundary effects."""
         audio = self.load_audio(audio_file)
         sr = self.hparams.sample_rate
         chunk_len = int(small_chunk_size * sr)
         T = audio.shape[0]
-        n_chunks = -(-T // chunk_len)
-        pad = n_chunks * chunk_len - T
-        audio = jnp.pad(audio, (0, pad))
-        chunks = audio.reshape(n_chunks, chunk_len)
-        probs = self.get_speech_prob_chunk(chunks)
-        return probs.reshape(1, -1, 1)[:, : self._n_frames(T), :]
+        if not overlap_small_chunk:
+            n_chunks = -(-T // chunk_len)
+            pad = n_chunks * chunk_len - T
+            audio = jnp.pad(audio, (0, pad))
+            chunks = audio.reshape(n_chunks, chunk_len)
+            probs = self.get_speech_prob_chunk(chunks)
+            return probs.reshape(1, -1, 1)[:, : self._n_frames(T), :]
+        stride = chunk_len // 2
+        n_chunks = max(1, -(-max(T - chunk_len, 0) // stride) + 1)
+        needed = (n_chunks - 1) * stride + chunk_len
+        audio = jnp.pad(audio, (0, max(0, needed - T)))
+        chunks = self.create_chunks(
+            audio[None], chunk_size=chunk_len, chunk_stride=stride
+        )
+        probs = np.asarray(self.get_speech_prob_chunk(chunks))  # (N, F, 1)
+        F = probs.shape[1]
+        hop = F // 2
+        total = self._n_frames(needed)
+        acc = np.zeros(total + F)
+        weight = np.zeros(total + F)
+        w = np.hamming(F)
+        for i in range(probs.shape[0]):
+            s = i * hop
+            acc[s : s + F] += probs[i, :, 0] * w
+            weight[s : s + F] += w
+        out = acc[: total] / np.maximum(weight[: total], 1e-8)
+        return jnp.asarray(out)[None, : self._n_frames(T), None]
+
+    @staticmethod
+    def create_chunks(x, chunk_size=16384, chunk_stride=16384):
+        """Split (1, T) signal into strided chunks (N, chunk_size)
+        (reference VAD.py:624)."""
+        x = np.asarray(x).reshape(-1)
+        n = max(1, (len(x) - chunk_size) // chunk_stride + 1)
+        idx = (
+            np.arange(n)[:, None] * chunk_stride
+            + np.arange(chunk_size)[None, :]
+        )
+        idx = np.minimum(idx, len(x) - 1)
+        return jnp.asarray(x[idx])
+
+    def upsample_VAD(self, vad_out, audio_file, time_resolution=0.01):
+        """Frame-level decisions -> sample-level signal aligned with the
+        file (reference VAD.py:656)."""
+        audio = self.load_audio(audio_file)
+        sr = self.hparams.sample_rate
+        T = audio.shape[0]
+        frame = int(time_resolution * sr)
+        vad = np.asarray(vad_out).reshape(-1)
+        up = np.repeat(vad, frame)[:T]
+        if len(up) < T:
+            up = np.pad(up, (0, T - len(up)))
+        return jnp.asarray(up)[None, :, None]
+
+    def upsample_boundaries(self, boundaries, audio_file):
+        """[start, end] seconds -> sample-level binary signal
+        (reference VAD.py:702)."""
+        audio = self.load_audio(audio_file)
+        sr = self.hparams.sample_rate
+        T = audio.shape[0]
+        sig = np.zeros(T)
+        for s, e in np.asarray(boundaries).reshape(-1, 2):
+            sig[int(s * sr): int(e * sr)] = 1.0
+        return jnp.asarray(sig)[None, :, None]
+
+    def get_segments(self, boundaries, audio_file, before_margin=0.1,
+                     after_margin=0.1):
+        """Crop the detected speech segments out of the audio
+        (reference VAD.py:785)."""
+        audio = self.load_audio(audio_file)
+        sr = self.hparams.sample_rate
+        T = audio.shape[0]
+        segments = []
+        for s, e in np.asarray(boundaries).reshape(-1, 2):
+            beg = max(0, int((s - before_margin) * sr))
+            end = min(T, int((e + after_margin) * sr))
+            segments.append(audio[beg:end])
+        return segments
+
+    def save_boundaries(self, boundaries, save_path=None,
+                        print_boundaries=True, audio_file=None):
+        """Write/print segments in the reference's format (VAD.py:448):
+        alternating SPEECH / NON_SPEECH rows covering the whole file."""
+        boundaries = np.asarray(boundaries).reshape(-1, 2)
+        last = 0.0
+        if audio_file is not None:
+            total = self.load_audio(audio_file).shape[0] / (
+                self.hparams.sample_rate
+            )
+        else:
+            total = boundaries[-1, 1] if len(boundaries) else 0.0
+        rows, cnt = [], 0
+        events = list(boundaries) + [[total, total]]
+        for s, e in events:
+            if s > last:
+                rows.append((last, s, "NON_SPEECH"))
+            if e > s:
+                rows.append((s, e, "SPEECH"))
+            last = max(last, e)
+        lines = [
+            f"segment_{i + 1:03d}  {s:.2f}  {e:.2f} {label}"
+            for i, (s, e, label) in enumerate(rows)
+        ]
+        text = "\n".join(lines)
+        if print_boundaries:
+            print(text)
+        if save_path is not None:
+            with open(save_path, "w") as f:
+                f.write(text + "\n")
+        return lines
 
     def _n_frames(self, n_samples):
         res = getattr(self.hparams, "time_resolution", 0.01)

@@ -88,3 +88,51 @@ def test_vad_trains_and_segments(tmp_path):
     np.testing.assert_allclose(merged, [(0.0, 0.4), (0.5, 1.2)])
     kept = vad.remove_short_segments([(0.0, 0.1), (0.5, 1.2)], len_th=0.25)
     np.testing.assert_allclose(kept, [(0.5, 1.2)])
+
+
+def test_vad_utility_surface(tmp_path):
+    """The reference's aux pipeline pieces (VAD.py:448-830): chunking,
+    upsampling, segment extraction, boundary files."""
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.dataio.dataio import write_audio
+
+    class _Id:  # posterior stub: 1 inside [0.5s, 1.2s], else 0
+        pass
+
+    sr = 16000
+    wav = np.zeros(2 * sr, np.float32)
+    wav[int(0.5 * sr): int(1.2 * sr)] = np.random.default_rng(0).uniform(
+        -0.5, 0.5, int(0.7 * sr)
+    ).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_audio(path, wav, sr)
+
+    vad = VAD(
+        modules={"model": lambda x: x},
+        hparams={"sample_rate": sr, "time_resolution": 0.01,
+                 "compute_features": lambda w: w},
+    )
+    chunks = vad.create_chunks(jnp.asarray(wav)[None], 16000, 8000)
+    assert chunks.shape == (3, 16000)
+
+    boundaries = np.asarray([[0.5, 1.2]])
+    up = vad.upsample_boundaries(boundaries, path)
+    assert up.shape == (1, len(wav), 1)
+    assert float(up[0, int(0.8 * sr), 0]) == 1.0
+    assert float(up[0, int(0.2 * sr), 0]) == 0.0
+
+    segs = vad.get_segments(boundaries, path, before_margin=0.0,
+                            after_margin=0.0)
+    assert len(segs) == 1 and abs(segs[0].shape[0] - int(0.7 * sr)) < 10
+
+    vad_frames = np.zeros((1, 200, 1)); vad_frames[0, 50:120] = 1.0
+    sig = vad.upsample_VAD(vad_frames, path, time_resolution=0.01)
+    assert sig.shape == (1, len(wav), 1)
+
+    out = tmp_path / "bounds.txt"
+    lines = vad.save_boundaries(boundaries, save_path=str(out),
+                                print_boundaries=False, audio_file=path)
+    text = out.read_text()
+    assert "SPEECH" in text and "NON_SPEECH" in text
+    assert len(lines) == 3  # non-speech, speech, non-speech
