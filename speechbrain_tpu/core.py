@@ -69,15 +69,20 @@ class RunOptions:
     """Runtime controls, mirroring the reference's RunOptions
     (utils/run_opts.py:58) with TPU-appropriate fields."""
 
+    test_only: bool = False  # skip training, evaluate only
     debug: bool = False
     debug_batches: int = 2
     debug_epochs: int = 2
+    debug_persistently: bool = False  # keep debug artifacts on disk
     device: str = "auto"  # "auto" | "tpu" | "cpu"
     precision: str = "fp32"  # "fp32" | "bf16"
+    eval_precision: str = "fp32"  # precision for VALID/TEST stages
     data_parallel_count: int = -1  # -1: all local devices
     tensor_parallel_count: int = 1  # "model" mesh axis size
     max_grad_norm: float = 5.0
+    skip_nonfinite_grads: bool = False  # also skip on nonfinite grad norm
     grad_accumulation_factor: int = 1
+    optimizer_step_limit: int = None  # stop after N optimizer updates
     nonfinite_patience: int = 3
     ckpt_interval_minutes: float = 0.0
     ckpt_interval_steps: int = 0
@@ -88,7 +93,6 @@ class RunOptions:
     profile_training: bool = False
     profile_warmup: int = 5
     profile_steps: int = 10
-    output_folder: str = None  # profiler traces / experiment artifacts
     seed: int = 563375142
 
     @classmethod
@@ -624,6 +628,10 @@ class Brain:
             )
             # nonfinite protection: skip the update if loss/grads blew up
             finite = jnp.isfinite(loss)
+            if self.run_opts.skip_nonfinite_grads:
+                finite = jnp.logical_and(
+                    finite, jnp.isfinite(optax_global_norm(grads))
+                )
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
             )
@@ -663,7 +671,7 @@ class Brain:
     # ------------------------------------------------------------------
     # Batch-level API
     # ------------------------------------------------------------------
-    def _prepare_batch(self, batch):
+    def _prepare_batch(self, batch, precision=None):
         """Move a PaddedBatch (or dict pytree) to device, sharded on the
         data axis. Non-array entries (ids, raw strings) are stripped from
         the jit input and kept on ``self.host_batch`` for hooks/metrics."""
@@ -678,7 +686,8 @@ class Brain:
                     host_batch[key] = value
             self.host_batch = host_batch
             batch = device_batch
-        if self.run_opts.precision == "bf16":
+        precision = precision or self.run_opts.precision
+        if precision == "bf16":
             # bf16 autocast at the batch boundary: float inputs compute in
             # bf16 on the MXU; params stay fp32 (the reference's AMP ctx,
             # utils/autocast.py, as a cast policy instead of a context).
@@ -766,7 +775,9 @@ class Brain:
         if self._compiled_eval_step is None:
             self._compiled_eval_step = self._make_eval_step(stage)
         self.rng, step_rng = jax.random.split(self.rng)
-        batch = self._prepare_batch(batch)
+        batch = self._prepare_batch(
+            batch, precision=self.run_opts.eval_precision
+        )
         loss, metrics = self._compiled_eval_step(
             self.params, self.model_state, batch, step_rng
         )
@@ -833,6 +844,10 @@ class Brain:
             not self.run_opts.noprogressbar if progressbar is None else progressbar
         )
 
+        if self.run_opts.test_only:
+            logger.info("test_only set: skipping training")
+            return
+
         for epoch in epoch_counter:
             self._fit_train(train_set, epoch, progressbar)
             self._fit_valid(valid_set, epoch, progressbar)
@@ -840,6 +855,15 @@ class Brain:
                 self.run_opts.debug
                 and epoch == self.run_opts.debug_epochs
             ):
+                break
+            if (
+                self.run_opts.optimizer_step_limit is not None
+                and self.optimizer_step >= self.run_opts.optimizer_step_limit
+            ):
+                logger.info(
+                    "Reached optimizer_step_limit (%d); stopping.",
+                    self.run_opts.optimizer_step_limit,
+                )
                 break
 
     def _fit_train(self, train_set, epoch, enable):
@@ -856,11 +880,9 @@ class Brain:
         for self.step, batch in enumerate(t, start=1):
             if self.run_opts.profile_training:
                 if self.step == self.run_opts.profile_warmup + 1:
+                    out_dir = getattr(self.hparams, "output_folder", None)
                     jax.profiler.start_trace(
-                        os.path.join(
-                            self.run_opts.output_folder or ".",
-                            "profiler_logs",
-                        )
+                        os.path.join(out_dir or ".", "profiler_logs")
                     )
                     profiler_on = True
                 elif profiler_on and self.step == (
@@ -878,6 +900,11 @@ class Brain:
             if hasattr(t, "set_postfix"):
                 t.set_postfix(train_loss=self.avg_train_loss)
             if self.run_opts.debug and self.step == self.run_opts.debug_batches:
+                break
+            if (
+                self.run_opts.optimizer_step_limit is not None
+                and self.optimizer_step >= self.run_opts.optimizer_step_limit
+            ):
                 break
             if self._should_save_intra_epoch_ckpt():
                 self._save_intra_epoch_ckpt()

@@ -387,3 +387,61 @@ def merge_csvs(data_folder, csv_lst, merged_csv):
     with open(write_path, "w", encoding="utf-8") as f:
         f.write(header)
         f.writelines(lines)
+
+
+def read_kaldi_lab(kaldi_ali, kaldi_lab_opts=None):
+    """Read Kaldi alignment labels (reference dataio/dataio.py:851).
+
+    Native implementation: reads gzipped/plain TEXT alignment archives
+    (``ali*.gz`` / ``ali*.ark`` lines of "utt_id int int ...") without
+    kaldi_io. When ``kaldi_lab_opts`` is given (e.g. "ali-to-pdf") and
+    the Kaldi binaries are on PATH, the same conversion pipe as the
+    reference is run first.
+
+    Returns {utt_id: np.ndarray of int32 labels}.
+    """
+    import glob
+    import gzip
+    import shutil
+    import subprocess
+
+    files = sorted(
+        glob.glob(os.path.join(kaldi_ali, "ali*.gz"))
+        + glob.glob(os.path.join(kaldi_ali, "ali*.ark"))
+        + glob.glob(os.path.join(kaldi_ali, "ali*.txt"))
+    )
+    if not files:
+        raise FileNotFoundError(f"No ali* archives under {kaldi_ali}")
+
+    def _lines(path):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            yield from f
+
+    if kaldi_lab_opts:
+        tool = kaldi_lab_opts.split()[0]
+        if shutil.which(tool) is None:
+            raise RuntimeError(
+                f"kaldi_lab_opts={kaldi_lab_opts!r} needs the Kaldi binary "
+                f"{tool!r} on PATH; omit kaldi_lab_opts to read raw "
+                "transition-id alignments natively"
+            )
+        cmd = (
+            "gunzip -c " + os.path.join(kaldi_ali, "ali*.gz") + " | "
+            + kaldi_lab_opts + " "
+            + os.path.join(kaldi_ali, "final.mdl") + " ark:- ark,t:-"
+        )
+        out = subprocess.run(
+            cmd, shell=True, capture_output=True, text=True, check=True
+        ).stdout.splitlines()
+        source = out
+    else:
+        source = (line for path in files for line in _lines(path))
+
+    lab = {}
+    for line in source:
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        lab[parts[0]] = np.asarray([int(v) for v in parts[1:]], np.int32)
+    return lab

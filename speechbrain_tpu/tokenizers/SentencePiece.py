@@ -165,13 +165,160 @@ def _train_bpe(texts, vocab_size, character_coverage=1.0, user_symbols=()):
     return pieces, merges
 
 
+class _UnigramProcessor:
+    """Unigram-LM tokenizer: encode = Viterbi segmentation maximizing the
+    sum of piece log-probabilities (the SentencePiece unigram model)."""
+
+    def __init__(self, pieces, logprobs, unk_piece="<unk>"):
+        self.pieces = list(pieces)
+        self.logprobs = {p: float(lp) for p, lp in zip(pieces, logprobs)}
+        self.unk = unk_piece
+        self._p2i = {p: i for i, p in enumerate(self.pieces)}
+        self.max_len = max((len(p) for p in self.pieces), default=1)
+
+    def vocab_size(self):
+        return len(self.pieces)
+
+    def get_piece_size(self):
+        return len(self.pieces)
+
+    def id_to_piece(self, idx):
+        return self.pieces[idx]
+
+    def piece_to_id(self, piece):
+        return self._p2i.get(piece, self._p2i.get(self.unk, 0))
+
+    def _viterbi(self, text):
+        n = len(text)
+        best = [float("-inf")] * (n + 1)
+        back = [None] * (n + 1)
+        best[0] = 0.0
+        unk_lp = min(self.logprobs.values(), default=-10.0) - 10.0
+        for i in range(n):
+            if best[i] == float("-inf"):
+                continue
+            for j in range(i + 1, min(n, i + self.max_len) + 1):
+                piece = text[i:j]
+                lp = self.logprobs.get(piece)
+                if lp is None:
+                    if j - i == 1:  # unknown character
+                        lp = unk_lp
+                    else:
+                        continue
+                if best[i] + lp > best[j]:
+                    best[j] = best[i] + lp
+                    back[j] = i
+        out = []
+        j = n
+        while j > 0:
+            i = back[j]
+            out.append(text[i:j])
+            j = i
+        return out[::-1]
+
+    def encode_as_pieces(self, text):
+        pieces = []
+        for word in str(text).split():
+            pieces.extend(self._viterbi(WORD_BOUNDARY + word))
+        return pieces
+
+    def encode_as_ids(self, text):
+        return [self.piece_to_id(p) for p in self.encode_as_pieces(text)]
+
+    def decode_pieces(self, pieces):
+        return "".join(pieces).replace(WORD_BOUNDARY, " ").strip()
+
+    def decode_ids(self, ids):
+        return self.decode_pieces([self.pieces[int(i)] for i in ids])
+
+    def save(self, path):
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "type": "unigram",
+                    "pieces": self.pieces,
+                    "logprobs": [self.logprobs[p] for p in self.pieces],
+                    "unk": self.unk,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path):
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        return cls(data["pieces"], data["logprobs"], data["unk"])
+
+
+def _train_unigram(texts, vocab_size, user_symbols=(), max_piece_len=10,
+                   n_em_iters=4, prune_frac=0.2):
+    """Unigram-LM training (the SentencePiece unigram algorithm,
+    Viterbi-EM approximation): seed with frequent substrings, alternate
+    (1) Viterbi-segment the corpus with current piece probabilities and
+    re-estimate from counts, (2) prune the lowest-probability
+    multi-char pieces, until the vocab fits."""
+    import math
+
+    word_freq = collections.Counter()
+    for line in texts:
+        for word in str(line).split():
+            word_freq[WORD_BOUNDARY + word] += 1
+
+    # seed: all substrings up to max_piece_len, scored by freq * len
+    sub_freq = collections.Counter()
+    for word, freq in word_freq.items():
+        for i in range(len(word)):
+            for j in range(i + 1, min(len(word), i + max_piece_len) + 1):
+                sub_freq[word[i:j]] += freq
+    chars = {w[i] for w in word_freq for i in range(len(w))}
+    seed_size = max(vocab_size * 4, len(chars) + 1)
+    seeds = {s for s, _ in sub_freq.most_common(seed_size)} | chars
+    total = sum(sub_freq[s] for s in seeds)
+    logprobs = {
+        s: math.log(max(sub_freq[s], 1) / total) for s in seeds
+    }
+
+    def em_round(lps):
+        proc = _UnigramProcessor(list(lps), [lps[p] for p in lps])
+        counts = collections.Counter()
+        for word, freq in word_freq.items():
+            for piece in proc._viterbi(word):
+                counts[piece] += freq
+        tot = sum(counts.values())
+        return counts, tot
+
+    target_multi = vocab_size - len(chars) - 1 - len(user_symbols)
+    while True:
+        for _ in range(n_em_iters):
+            counts, tot = em_round(logprobs)
+            logprobs = {
+                p: math.log(max(counts.get(p, 0), 1e-3) / max(tot, 1))
+                for p in logprobs
+            }
+        multi = [p for p in logprobs if len(p) > 1 and p not in chars]
+        if len(multi) <= max(target_multi, 0):
+            break
+        # prune the worst multi-char pieces (chars are never pruned)
+        multi.sort(key=lambda p: logprobs[p])
+        n_drop = max(1, int(len(multi) * prune_frac))
+        n_drop = min(n_drop, len(multi) - max(target_multi, 0))
+        for p in multi[:n_drop]:
+            del logprobs[p]
+
+    pieces = ["<unk>"] + list(user_symbols) + sorted(
+        logprobs, key=lambda p: -logprobs[p]
+    )[: vocab_size - 1 - len(user_symbols)]
+    min_lp = min(logprobs.values(), default=-10.0)
+    return pieces, [logprobs.get(p, min_lp - 5.0) for p in pieces]
+
+
 class SentencePiece:
     """Train/load a tokenizer from a data manifest
     (reference tokenizers/SentencePiece.py:24).
 
     Arguments mirror the reference: model_dir, vocab_size, annotation_train
     (csv/json manifest), annotation_read (text column), model_type
-    ("bpe"|"char"|"unigram"->bpe fallback), character_coverage,
+    ("bpe"|"char"|"unigram"), character_coverage,
     bos_id/eos_id/pad_id/unk_id.
 
     Example
@@ -225,7 +372,13 @@ class SentencePiece:
                 else list(user_defined_symbols)
             )
         if os.path.exists(self.model_path):
-            self.sp = _BPEProcessor.load(self.model_path)
+            with open(self.model_path, encoding="utf-8") as f:
+                saved_type = json.load(f).get("type", "bpe")
+            cls = (
+                _UnigramProcessor if saved_type == "unigram"
+                else _BPEProcessor
+            )
+            self.sp = cls.load(self.model_path)
             logger.info("Loaded tokenizer from %s", self.model_path)
         else:
             if annotation_train is None and text_file is None:
@@ -240,6 +393,12 @@ class SentencePiece:
                 pieces = ["<unk>"] + user_symbols + chars
                 self.sp = _BPEProcessor(pieces, merges=[])
                 # char mode: encode via single-char merges only
+            elif model_type == "unigram":
+                pieces, logprobs = _train_unigram(
+                    texts, self.vocab_size, user_symbols,
+                    max_piece_len=max_sentencepiece_length,
+                )
+                self.sp = _UnigramProcessor(pieces, logprobs)
             else:
                 pieces, merges = _train_bpe(
                     texts, self.vocab_size, character_coverage, user_symbols

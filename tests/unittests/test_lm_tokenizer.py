@@ -112,3 +112,45 @@ def test_char_tokenizer(tmp_path):
                        model_type="char")
     pieces = sp.sp.encode_as_pieces("abc")
     assert all(len(p.replace("▁", "")) <= 1 for p in pieces)
+
+
+def test_sentencepiece_unigram_mode(tmp_path):
+    """Unigram training (reference SentencePiece.py:24 trains
+    bpe/unigram/char): Viterbi segmentation roundtrips and learns
+    multi-char pieces."""
+    import json
+
+    from speechbrain_tpu.tokenizers.SentencePiece import SentencePiece
+
+    ann = tmp_path / "train.json"
+    texts = {f"u{i}": {"words": w} for i, w in enumerate(
+        ["hello world", "hello there world", "the quick brown fox",
+         "the lazy dog", "hello quick world there", "worldly things"] * 3
+    )}
+    ann.write_text(json.dumps(texts))
+    sp = SentencePiece(str(tmp_path), vocab_size=40,
+                       annotation_train=str(ann),
+                       annotation_read="words", model_type="unigram")
+    ids = sp.sp.encode_as_ids("hello world")
+    assert sp.sp.decode_ids(ids) == "hello world"
+    assert any(len(p) > 2 for p in sp.sp.pieces)  # learned real pieces
+    # persisted model reloads as unigram
+    sp2 = SentencePiece(str(tmp_path), vocab_size=40, model_type="unigram")
+    assert sp2.sp.decode_ids(sp2.sp.encode_as_ids("the lazy dog")) == (
+        "the lazy dog"
+    )
+
+
+def test_read_kaldi_lab(tmp_path):
+    """Native Kaldi alignment reader (reference dataio/dataio.py:851)."""
+    import gzip
+
+    import numpy as np
+
+    from speechbrain_tpu.dataio.dataio import read_kaldi_lab
+
+    with gzip.open(tmp_path / "ali.1.gz", "wt") as f:
+        f.write("utt1 1 2 3 4\nutt2 5 6\n")
+    lab = read_kaldi_lab(str(tmp_path))
+    assert set(lab) == {"utt1", "utt2"}
+    np.testing.assert_array_equal(lab["utt1"], [1, 2, 3, 4])
