@@ -9,9 +9,11 @@ beats.py:227, TransformerEncoder at beats.py:649), re-designed for TPU:
 - Transformer layers use a T5-style bucketed relative attention bias
   shared across layers (the first layer owns the table), matching
   BEATs' relative_position_embedding.
-- The fbank frontend is the framework's own STFT->mel path (not Kaldi):
-  porting the original checkpoints therefore requires the usual
-  frontend-tolerant fine-tuning or a converted frontend.
+- The fbank frontend is a jittable Kaldi-compatible fbank
+  (processing/features.py kaldi_fbank — povey window, snip edges,
+  natural log, mel-domain triangles), matching the
+  torchaudio.compliance.kaldi features the original checkpoints were
+  trained on.
 - Frozen mode wraps features in ``lax.stop_gradient`` instead of
   ``torch.no_grad``.
 """
@@ -22,7 +24,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from speechbrain_tpu.lobes.features import Fbank
 from speechbrain_tpu.nnet.attention import MultiheadAttention
 
 
@@ -98,8 +99,6 @@ class BEATs(nn.Module):
     fbank_std: float = 6.55582
 
     def setup(self):
-        self._fbank = Fbank(n_mels=128, sample_rate=16000, win_length=25,
-                            hop_length=10)
         self.patch_embedding = nn.Conv(
             self.embed_dim,
             (self.input_patch_size, self.input_patch_size),
@@ -139,8 +138,13 @@ class BEATs(nn.Module):
 
     def preprocess(self, source):
         """Waveform (B, T) -> normalized 128-bin log-mel (B, frames, 128)
-        (reference beats.py:156)."""
-        fb = self._fbank(source)
+        (reference beats.py:156). Uses the Kaldi-compatible fbank (povey
+        window, snip edges, natural log, mel-domain triangles, waveform
+        scaled by 2**15) so original BEATs checkpoints see the frontend
+        they were trained on."""
+        from speechbrain_tpu.processing.features import kaldi_fbank
+
+        fb = kaldi_fbank(source * 32768.0, num_mel_bins=128)
         return (fb - self.fbank_mean) / (2 * self.fbank_std)
 
     def __call__(self, wav, wav_lens=None, train=False):

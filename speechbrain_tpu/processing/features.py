@@ -757,3 +757,102 @@ class DynamicRangeCompression:
 
     def __call__(self, x):
         return jnp.log(jnp.clip(x, a_min=self.clip_val) * self.multiplier)
+
+
+# ---------------------------------------------------------------------------
+# Kaldi-compatible filterbanks (for consuming checkpoints trained on
+# torchaudio.compliance.kaldi features, e.g. BEATs — ref lobes/models/
+# beats.py:156 uses ta_kaldi.fbank)
+# ---------------------------------------------------------------------------
+
+def kaldi_mel_filterbank_matrix(num_bins=128, n_fft=512, sample_rate=16000,
+                                low_freq=20.0, high_freq=0.0):
+    """Kaldi mel banks: triangular in the MEL domain (not Hz), computed
+    over the n_fft/2 FFT bins (nyquist excluded) — the torchaudio
+    compliance.kaldi / Kaldi mel-banks formula."""
+    if high_freq <= 0.0:
+        high_freq = sample_rate / 2.0 + high_freq
+
+    def to_mel(hz):
+        return 1127.0 * np.log(1.0 + np.asarray(hz) / 700.0)
+
+    num_fft_bins = n_fft // 2
+    fft_bin_width = sample_rate / n_fft
+    mel_low = to_mel(low_freq)
+    mel_high = to_mel(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+    left = mel_low + np.arange(num_bins) * mel_delta
+    center = left + mel_delta
+    right = center + mel_delta
+    freqs = fft_bin_width * np.arange(num_fft_bins)
+    mel = to_mel(freqs)[None, :]  # (1, F)
+    up = (mel - left[:, None]) / mel_delta
+    down = (right[:, None] - mel) / mel_delta
+    bank = np.maximum(0.0, np.minimum(up, down))  # (num_bins, F)
+    return bank.T.astype(np.float32)  # (F, num_bins)
+
+
+def kaldi_fbank(wav, num_mel_bins=128, frame_length=25.0, frame_shift=10.0,
+                sample_rate=16000, preemphasis=0.97, remove_dc_offset=True,
+                window_type="povey", low_freq=20.0, high_freq=0.0,
+                use_log_fbank=True):
+    """Jittable Kaldi-style log-mel filterbanks matching
+    torchaudio.compliance.kaldi.fbank defaults: snip-edges framing,
+    per-frame DC removal, pre-emphasis, povey window, power spectrum on
+    the next power-of-two FFT, mel-domain triangular banks, natural log.
+
+    wav: (B, T) float (BEATs feeds waveform * 2**15). Returns
+    (B, n_frames, num_mel_bins).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> out = kaldi_fbank(jnp.ones((1, 16000)))
+    >>> out.shape
+    (1, 98, 128)
+    """
+    win = int(sample_rate * frame_length / 1000.0)
+    hop = int(sample_rate * frame_shift / 1000.0)
+    n_fft = 1
+    while n_fft < win:
+        n_fft *= 2
+    B, T = wav.shape
+    n_frames = max(0, 1 + (T - win) // hop)  # snip_edges framing
+    idx = (
+        np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]
+    )
+    frames = wav[:, idx]  # (B, n_frames, win)
+    if remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if preemphasis:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - preemphasis * prev
+    n = np.arange(win)
+    if window_type == "povey":
+        window = (0.5 - 0.5 * np.cos(2 * np.pi * n / (win - 1))) ** 0.85
+    elif window_type == "hanning":
+        window = 0.5 - 0.5 * np.cos(2 * np.pi * n / (win - 1))
+    elif window_type == "hamming":
+        window = 0.54 - 0.46 * np.cos(2 * np.pi * n / (win - 1))
+    else:
+        raise ValueError(f"Unsupported window {window_type}")
+    # window + DFT folded into two matmuls (MXU path; no complex dtypes)
+    num_fft_bins = n_fft // 2
+    k = np.arange(num_fft_bins)[None, :]
+    nn_ = np.arange(win)[:, None]
+    ang = 2.0 * np.pi * nn_ * k / n_fft
+    w = window[:, None]
+    cos_m = jnp.asarray(np.cos(ang) * w, jnp.float32)
+    sin_m = jnp.asarray(-np.sin(ang) * w, jnp.float32)
+    real = jnp.einsum("bfw,wk->bfk", frames, cos_m)
+    imag = jnp.einsum("bfw,wk->bfk", frames, sin_m)
+    power = real * real + imag * imag
+    bank = jnp.asarray(
+        kaldi_mel_filterbank_matrix(
+            num_mel_bins, n_fft, sample_rate, low_freq, high_freq
+        )
+    )
+    mel = jnp.einsum("bfk,km->bfm", power, bank)
+    if use_log_fbank:
+        mel = jnp.log(jnp.maximum(mel, 1.1921e-07))  # kaldi epsilon
+    return mel

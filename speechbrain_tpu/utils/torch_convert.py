@@ -30,6 +30,7 @@ def load_torch_state_dict(path):
     state = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(state, "state_dict"):
         state = state.state_dict()
+    state = map_old_state_dict_weights(dict(state))
     return {k: v.detach().numpy() for k, v in state.items() if hasattr(v, "numpy")}
 
 
@@ -254,3 +255,28 @@ def ecapa_classifier_key_map(key):
     if k.endswith(".bias"):
         return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
     return None
+
+
+# Compatibility renames applied to every incoming torch state_dict
+# (the reference's KEYS_MAPPING + map_old_state_dict_weights,
+# utils/checkpoints.py:84-130): substring -> substring, covering
+# checkpoints saved before upstream typo fixes.
+KEYS_MAPPING = {
+    ".mutihead_attn": ".multihead_attn",
+    ".convs_intermedite": ".convs_intermediate",
+}
+
+
+def map_old_state_dict_weights(state_dict, mapping=None):
+    """Rename keys by substring replacement (reference
+    checkpoints.py:91). Returns the same dict, mutated."""
+    mapping = KEYS_MAPPING if mapping is None else mapping
+    for old_sub, new_sub in mapping.items():
+        for old_key in list(state_dict.keys()):
+            if old_sub in old_key:
+                new_key = old_key.replace(old_sub, new_sub)
+                state_dict[new_key] = state_dict.pop(old_key)
+                logger.info(
+                    "Compatibility rename %r -> %r", old_key, new_key
+                )
+    return state_dict

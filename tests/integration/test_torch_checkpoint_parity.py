@@ -119,3 +119,24 @@ def test_ecapa_pour_is_strict_about_missing_targets(tmp_path):
             state, variables,
             lambda k: "params/not/a/real/leaf", strict=True,
         )
+
+
+def test_old_key_remapping_applied_on_load(tmp_path):
+    """Old-typo checkpoint keys are renamed on load (the reference's
+    KEYS_MAPPING compatibility hooks, utils/checkpoints.py:84-130)."""
+    from speechbrain_tpu.utils.torch_convert import (
+        load_torch_state_dict,
+        map_old_state_dict_weights,
+    )
+
+    sd = {"layer.mutihead_attn.in_proj.weight": torch.zeros(4, 4)}
+    ckpt = tmp_path / "old.ckpt"
+    torch.save(sd, str(ckpt))
+    state = load_torch_state_dict(str(ckpt))
+    assert "layer.multihead_attn.in_proj.weight" in state
+    assert "layer.mutihead_attn.in_proj.weight" not in state
+
+    remapped = map_old_state_dict_weights(
+        {"a.old_name.w": 1}, {".old_name": ".new_name"}
+    )
+    assert remapped == {"a.new_name.w": 1}
