@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""AISHELL-1 Mandarin ASR with a Conformer encoder-decoder and joint
+CTC/attention over characters (the reference's
+recipes/AISHELL-1/ASR/transformer/train.py re-expressed for
+speechbrain_tpu; published CER 6.04, PERFORMANCE.md:12)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import optax
+
+import speechbrain_tpu as sb
+from speechbrain_tpu.dataio.dataio import read_audio
+from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+from speechbrain_tpu.dataio.encoder import CTCTextEncoder
+from speechbrain_tpu.nnet.losses import ctc_loss, kldiv_loss
+from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
+
+
+class ASR(sb.Brain):
+    """Conv frontend -> Conformer encoder (+decoder) -> CTC & seq heads."""
+
+    def compute_forward(self, params, state, batch, stage, rng):
+        wavs, wav_lens = batch["sig"]
+        tokens_bos, _ = batch["tokens_bos"]
+        train = stage == sb.Stage.TRAIN
+        mut = ["batch_stats"] if train else []
+        feats = self.hparams.compute_features(wavs)
+        feats = self.hparams.normalize(feats, wav_lens)
+        feats, u0 = self.module_apply(
+            "frontend", params, state, feats, train=train, mutable_state=mut,
+            rngs={"dropout": rng} if train else None,
+        )
+        (enc, dec), _ = self.module_apply(
+            "model", params, state, feats, tokens_bos, wav_len=wav_lens,
+            train=train, mutable_state=[],
+            rngs={"dropout": rng} if train else None,
+        )
+        ctc_logits, _ = self.module_apply(
+            "ctc_head", params, state, enc, mutable_state=[]
+        )
+        seq_logits, _ = self.module_apply(
+            "seq_head", params, state, dec, mutable_state=[]
+        )
+        ns = self.merge_state(state, "frontend", u0)
+        return (
+            jax.nn.log_softmax(ctc_logits, -1),
+            jax.nn.log_softmax(seq_logits, -1),
+        ), ns
+
+    def compute_objectives(self, predictions, batch, stage):
+        p_ctc, p_seq = predictions
+        wavs, wav_lens = batch["sig"]
+        tokens, tok_lens = batch["tokens"]
+        tokens_eos, tok_eos_lens = batch["tokens_eos"]
+        w = self.hparams.ctc_weight
+        loss_ctc = ctc_loss(
+            p_ctc, tokens, wav_lens, tok_lens,
+            blank_index=self.hparams.blank_index,
+        )
+        loss_seq = kldiv_loss(
+            p_seq, tokens_eos, length=tok_eos_lens,
+            label_smoothing=self.hparams.label_smoothing,
+        )
+        return w * loss_ctc + (1 - w) * loss_seq
+
+    def init_forward(self, rng, eb):
+        wavs, wav_lens = eb["sig"]
+        tokens_bos, _ = eb["tokens_bos"]
+        feats = self.hparams.compute_features(wavs)
+        p_f, s_f = self.init_module(rng, "frontend", feats, train=False)
+        feats2, _ = self.module_apply(
+            "frontend", {"frontend": p_f},
+            {k: {"frontend": v} for k, v in s_f.items()}, feats, train=False,
+        )
+        p_m, _ = self.init_module(rng, "model", feats2, tokens_bos)
+        (enc, dec), _ = self.module_apply(
+            "model", {"model": p_m}, {}, feats2, tokens_bos
+        )
+        p_c, _ = self.init_module(rng, "ctc_head", enc)
+        p_s, _ = self.init_module(rng, "seq_head", dec)
+        out = {"params": {"frontend": p_f, "model": p_m, "ctc_head": p_c,
+                          "seq_head": p_s}}
+        for coll, tree in s_f.items():
+            out[coll] = {"frontend": tree}
+        return out
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        if stage == sb.Stage.TRAIN:
+            return
+        self.hparams.train_logger.log_stats(
+            stats_meta={"epoch": epoch},
+            train_stats={"loss": self.train_loss},
+            valid_stats={"loss": stage_loss},
+        )
+        self.save_checkpoint(meta={"loss": stage_loss}, min_keys=["loss"])
+
+
+def dataio_prepare(hparams):
+    """Manifests -> datasets with audio + character token pipelines.
+    Character inventory is built from the training transcripts with
+    <blank>/<bos>/<eos> reserved; the resolved indices are written back
+    into hparams for the losses."""
+    datasets = {}
+    encoder = CTCTextEncoder()
+    for split, key in (("train", "train_annotation"),
+                       ("valid", "valid_annotation")):
+        ds = DynamicItemDataset.from_json(
+            hparams[key], replacements={"data_root": hparams["data_folder"]}
+        )
+        ds.add_dynamic_item(read_audio, takes="wav", provides="sig")
+        ds.add_dynamic_item(
+            lambda t: list(t), takes="transcript", provides="char_list"
+        )
+        datasets[split] = ds
+    encoder.load_or_create(
+        path=f"{hparams['save_folder']}/char_encoder.txt",
+        from_didatasets=[datasets["train"]],
+        output_key="char_list",
+        sequence_input=True,
+        special_labels={
+            "blank_label": "<blank>",
+            "bos_label": "<bos>",
+            "eos_label": "<eos>",
+        },
+    )
+    hparams["blank_index"] = encoder.get_blank_index()
+    bos, eos = encoder.get_bos_index(), encoder.get_eos_index()
+    for ds in datasets.values():
+        def tokens_pipeline(char_list):
+            ids = [int(i) for i in encoder.encode_sequence(char_list)]
+            yield np.asarray(ids, np.int32)
+            yield np.asarray([bos] + ids, np.int32)
+            yield np.asarray(ids + [eos], np.int32)
+
+        ds.add_dynamic_item(
+            tokens_pipeline, takes="char_list",
+            provides=["tokens", "tokens_bos", "tokens_eos"],
+        )
+        ds.set_output_keys(["id", "sig", "tokens", "tokens_bos",
+                            "tokens_eos"])
+    return datasets
+
+
+if __name__ == "__main__":
+    hparams_file, run_opts, overrides = sb.parse_arguments(sys.argv[1:])
+    with open(hparams_file, encoding="utf-8") as f:
+        hparams = load_hyperpyyaml(f, overrides)
+    sb.create_experiment_directory(
+        experiment_directory=hparams["output_folder"],
+        hyperparams_to_save=hparams_file,
+        overrides=overrides,
+    )
+    if not Path(hparams["train_annotation"]).exists() and run_opts.get(
+        "debug"
+    ):
+        sys.path.insert(0, str(Path(__file__).parent))
+        from prepare import prepare_synthetic
+
+        prepare_synthetic(hparams["data_folder"])
+    datasets = dataio_prepare(hparams)
+    brain = ASR(
+        modules=hparams["modules"],
+        opt_class=lambda: optax.adamw(hparams["lr_adam"]),
+        hparams=hparams,
+        run_opts=run_opts,
+        checkpointer=hparams["checkpointer"],
+    )
+    brain.fit(
+        hparams["epoch_counter"],
+        datasets["train"],
+        datasets["valid"],
+        train_loader_kwargs={"batch_size": hparams["batch_size"],
+                             "shuffle": True,
+                             "pad_to_multiple": {"sig": 4800}},
+        valid_loader_kwargs={"batch_size": hparams["batch_size"],
+                             "pad_to_multiple": {"sig": 4800}},
+    )
