@@ -61,19 +61,29 @@ class CRDNN(nn.Module):
         else:
             y = x
         for b in range(self.cnn_blocks):
+            # the CNN-block LayerNorm normalizes over BOTH trailing axes
+            # (feat, channel) with (F, C) affine params — the reference's
+            # LayerNorm(input_shape) semantics (checkpoint-parity: the
+            # published CRDNN state_dicts carry (F, C) norm weights)
             y = Conv2d(
                 out_channels=self.cnn_channels[b],
                 kernel_size=self.cnn_kernelsize,
                 name=f"conv_{b}_0",
             )(y)
-            y = LayerNorm(name=f"cnn_norm_{b}_0")(y)
+            y = nn.LayerNorm(
+                reduction_axes=(-2, -1), feature_axes=(-2, -1),
+                name=f"cnn_norm_{b}_0",
+            )(y)
             y = act(y)
             y = Conv2d(
                 out_channels=self.cnn_channels[b],
                 kernel_size=self.cnn_kernelsize,
                 name=f"conv_{b}_1",
             )(y)
-            y = LayerNorm(name=f"cnn_norm_{b}_1")(y)
+            y = nn.LayerNorm(
+                reduction_axes=(-2, -1), feature_axes=(-2, -1),
+                name=f"cnn_norm_{b}_1",
+            )(y)
             y = act(y)
             pool = self.inter_layer_pooling_size[b]
             if pool > 1:

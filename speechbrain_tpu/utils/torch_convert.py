@@ -185,6 +185,9 @@ def pour_torch_keys(state, variables, key_map_fn, strict=True):
         dst = key_map_fn(key)
         if dst is None:
             continue
+        if isinstance(dst, tuple):  # (dst, explicit transpose perm)
+            dst, perm = dst
+            src = np.transpose(np.asarray(src), perm)
         path = tuple(dst.split("/"))
         if path not in flat:
             if strict:
@@ -280,3 +283,77 @@ def map_old_state_dict_weights(state_dict, mapping=None):
                     "Compatibility rename %r -> %r", old_key, new_key
                 )
     return state_dict
+
+
+def crdnn_key_map(key):
+    """Reference CRDNN (LSTM variant) state_dict key -> flax path in our
+    CRDNN (lobes/models/CRDNN.py). Reference tree (ref CRDNN.py:16):
+    CNN.block_{b}.(conv_{1,2}|norm_{1,2}), RNN.rnn (torch nn.LSTM keys),
+    DNN.block_{b}.(linear|norm). LSTM biases must be pre-merged with
+    merge_lstm_biases (torch keeps bias_ih + bias_hh separately; our
+    hoisted input projection carries their sum)."""
+    if key.endswith("num_batches_tracked"):
+        return None
+    m = re.match(r"^CNN\.block_(\d+)\.conv_(\d+)\.conv\.(weight|bias)$", key)
+    if m:
+        b, n, leaf = m.group(1), int(m.group(2)) - 1, m.group(3)
+        if leaf == "weight":
+            # reference Conv2d convolves (B, C, FREQ, TIME); ours is NHWC
+            # (B, TIME, FREQ, C): torch (out, in, kF, kT) -> flax
+            # (kT, kF, in, out) — the spatial axes swap, which shape
+            # matching can't detect when the kernel is square
+            return f"params/conv_{b}_{n}/kernel", (3, 2, 1, 0)
+        return f"params/conv_{b}_{n}/bias"
+    m = re.match(r"^CNN\.block_(\d+)\.norm_(\d+)\.norm\.(weight|bias)$", key)
+    if m:
+        b, n, leaf = m.group(1), int(m.group(2)) - 1, m.group(3)
+        leaf = "scale" if leaf == "weight" else "bias"
+        return f"params/cnn_norm_{b}_{n}/{leaf}"
+    m = re.match(r"^RNN\.rnn\.weight_(ih|hh)_l(\d+)(_reverse)?$", key)
+    if m:
+        kind, layer, rev = m.group(1), m.group(2), m.group(3)
+        d = 1 if rev else 0
+        if kind == "ih":
+            return f"params/rnn/wx_l{layer}_d{d}/kernel"
+        return f"params/rnn/wh_l{layer}_d{d}"
+    m = re.match(r"^RNN\.rnn\.bias_l(\d+)(_reverse)?$", key)
+    if m:  # produced by merge_lstm_biases
+        layer, rev = m.group(1), m.group(2)
+        d = 1 if rev else 0
+        return f"params/rnn/wx_l{layer}_d{d}/bias"
+    if re.match(r"^RNN\.rnn\.bias_(ih|hh)_", key):
+        raise ValueError(
+            f"{key}: run merge_lstm_biases(state) before pouring"
+        )
+    m = re.match(r"^DNN\.block_(\d+)\.linear\.w\.(weight|bias)$", key)
+    if m:
+        b, leaf = m.group(1), m.group(2)
+        leaf = "kernel" if leaf == "weight" else "bias"
+        return f"params/dnn_{b}/{leaf}"
+    m = re.match(
+        r"^DNN\.block_(\d+)\.norm\.norm\.(weight|bias|running_mean|running_var)$",
+        key,
+    )
+    if m:
+        b, leaf = m.group(1), m.group(2)
+        coll_leaf = {
+            "weight": ("params", "scale"), "bias": ("params", "bias"),
+            "running_mean": ("batch_stats", "mean"),
+            "running_var": ("batch_stats", "var"),
+        }[leaf]
+        return f"{coll_leaf[0]}/dnn_norm_{b}/BatchNorm_0/{coll_leaf[1]}"
+    return None
+
+
+def merge_lstm_biases(state):
+    """torch LSTM keeps bias_ih and bias_hh separately; sum them into one
+    ``bias_l{n}[_reverse]`` key (our scan cell adds a single bias)."""
+    out = dict(state)
+    for key in list(out):
+        m = re.match(r"^(.*)\.bias_ih_l(\d+)(_reverse)?$", key)
+        if not m:
+            continue
+        prefix, layer, rev = m.group(1), m.group(2), m.group(3) or ""
+        hh = f"{prefix}.bias_hh_l{layer}{rev}"
+        out[f"{prefix}.bias_l{layer}{rev}"] = out.pop(key) + out.pop(hh)
+    return out

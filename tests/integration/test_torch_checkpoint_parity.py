@@ -140,3 +140,62 @@ def test_old_key_remapping_applied_on_load(tmp_path):
         {"a.old_name.w": 1}, {".old_name": ".new_name"}
     )
     assert remapped == {"a.new_name.w": 1}
+
+
+def test_crdnn_torch_checkpoint_pours_to_output_parity(tmp_path):
+    """CRDNN (the asr-crdnn-rnnlm-librispeech encoder architecture,
+    LSTM variant): reference torch forward == poured flax forward at
+    1e-4 — covers 2-D convs with (F, C) LayerNorm, bidirectional LSTM
+    with merged biases, and the BatchNorm DNN blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.CRDNN import CRDNN
+    from speechbrain_tpu.utils.torch_convert import (
+        crdnn_key_map,
+        load_torch_state_dict,
+        merge_lstm_biases,
+        pour_torch_keys,
+    )
+
+    _import_reference_ecapa()  # ensures stubs + sys.path
+    from speechbrain.lobes.models.CRDNN import CRDNN as TorchCRDNN
+    import speechbrain.nnet.RNN as SBRNN
+
+    tm = TorchCRDNN(
+        input_size=40, cnn_blocks=2, cnn_channels=(8, 8),
+        inter_layer_pooling_size=(2, 2), rnn_class=SBRNN.LSTM,
+        rnn_layers=2, rnn_neurons=16, rnn_bidirectional=True,
+        dnn_blocks=1, dnn_neurons=16, dropout=0.15,
+    )
+    tm.eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if hasattr(mod, "running_mean") and mod.running_mean is not None:
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+    ckpt = tmp_path / "crdnn.ckpt"
+    torch.save(tm.state_dict(), str(ckpt))
+
+    x = np.random.default_rng(0).standard_normal((2, 50, 40)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x)).numpy()
+
+    jm = CRDNN(
+        cnn_blocks=2, cnn_channels=(8, 8), inter_layer_pooling_size=(2, 2),
+        rnn_class="lstm", rnn_layers=2, rnn_neurons=16,
+        rnn_bidirectional=True, dnn_blocks=1, dnn_neurons=16, dropout=0.15,
+    )
+    variables = jax.tree_util.tree_map(
+        np.asarray,
+        dict(jm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)),
+    )
+    state = merge_lstm_biases(load_torch_state_dict(str(ckpt)))
+    poured = pour_torch_keys(state, variables, crdnn_key_map, strict=True)
+    poured = jax.tree_util.tree_map(jnp.asarray, poured)
+    out = np.asarray(jm.apply(poured, jnp.asarray(x), train=False))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
