@@ -9,6 +9,7 @@ streaming module.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -164,6 +165,7 @@ class WhisperASR(Pretrained):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._searcher = None
+        self._last_scores = None
 
     # -- prompt / token plumbing ---------------------------------------
     def _tok(self):
@@ -278,19 +280,25 @@ class WhisperASR(Pretrained):
         lens = jnp.ones((enc.shape[0],)) if wav_lens is None else jnp.asarray(
             wav_lens
         )
-        hyps, _lens, _scores, _ = self._searcher(enc, lens)
+        hyps, _lens, scores, _ = self._searcher(enc, lens)
+        self._last_scores = np.asarray(scores)
         texts = [
             tok.decode(h, skip_special_tokens=True).strip() for h in hyps
         ]
         return texts, hyps
 
     def transcribe_file(self, path, **kwargs):
-        """Chunk a long file into 30 s segments and transcribe each."""
+        """Chunk a long file into 30 s segments and transcribe each,
+        filling the reference's segment metadata (avg_log_probs,
+        no_speech_prob, detected lang_id when no language is forced)."""
         import numpy as np
 
         audio = np.asarray(self.load_audio(path))
         n = int(self.CHUNK_S * self.SAMPLE_RATE)
         segments = []
+        forced_lang = kwargs.get("language") or getattr(
+            self.hparams, "language", None
+        )
         for s in range(0, max(len(audio), 1), n):
             chunk = audio[s : s + n]
             seg = ASRWhisperSegment(
@@ -298,11 +306,43 @@ class WhisperASR(Pretrained):
                 end=min(s + n, len(audio)) / self.SAMPLE_RATE,
                 chunk=chunk,
             )
+            if forced_lang is None:
+                try:
+                    codes, _ = self.detect_language(chunk[None])
+                    seg.lang_id = codes[0]
+                except Exception:
+                    seg.lang_id = None
+            else:
+                seg.lang_id = forced_lang
             texts, tokens = self.transcribe_batch(chunk[None], **kwargs)
             seg.words = texts[0]
             seg.tokens = tokens[0]
+            seg.prompt = self._prompt_ids(
+                seg.lang_id if forced_lang is None else forced_lang,
+                kwargs.get("task"),
+            )
+            if self._last_scores is not None:
+                seg.avg_log_probs = float(
+                    self._last_scores[0] / max(1, len(tokens[0]) + 1)
+                )
+            seg.no_speech_prob = self._no_speech_prob(chunk[None])
             segments.append(seg)
         return segments
+
+    def _no_speech_prob(self, wavs):
+        """P(<|nospeech|>) at the first decode position (reference
+        ASR.py no_speech detection); None if the token doesn't exist."""
+        tid = self._special_id("<|nospeech|>") or self._special_id(
+            "<|nocaptions|>"
+        )
+        if tid is None:
+            return None
+        sot = self._special_id("<|startoftranscript|>")
+        enc = self.encode_batch(wavs)
+        buf = jnp.full((enc.shape[0], 1), sot, jnp.int32)
+        logits = self.hparams.whisper.forward_decoder(enc, buf)[:, 0]
+        probs = jax.nn.softmax(logits, axis=-1)
+        return float(probs[0, tid])
 
 
 class SpeechLLMGreedySearcher:
