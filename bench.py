@@ -182,39 +182,95 @@ def bench_asr_reference_torch():
             sys.path.remove(ref_path)
 
 
-def bench_decode():
-    """Encoder + on-device transformer CTC-greedy-equivalent beam search
-    (beam=4) over a small vocab head: the transcribe_batch E2E path."""
+def bench_decode(kv=True):
+    """Encoder + on-device transformer beam search (beam=4) with a REAL
+    6-layer transformer decoder: the transcribe_batch E2E path. ``kv``
+    uses the KV-cached O(L)-per-step searcher (the serving path);
+    kv=False re-runs the full token buffer per step for comparison."""
     import jax
     import jax.numpy as jnp
 
-    from speechbrain_tpu.decoders.seq2seq import S2STransformerBeamSearcher
+    from speechbrain_tpu.decoders.seq2seq import (
+        S2SKVBeamSearcher,
+        S2STransformerBeamSearcher,
+    )
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR,
+    )
+    from speechbrain_tpu.nnet.linear import Linear
 
-    _, encode, (net, v, lin, v_lin), wavs, lens = _build_jax_pipeline()
-    enc = jax.jit(encode)(wavs, lens)
+    net = TransformerASR(
+        tgt_vocab=ASR["vocab"], input_size=640, d_model=ASR["d_model"],
+        nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
+        num_decoder_layers=6, d_ffn=ASR["d_ffn"],
+        encoder_module="conformer", attention_type="RelPosMHAXL",
+        kernel_size=ASR["kernel_size"],
+    )
+    head = Linear(n_neurons=ASR["vocab"])
+    from speechbrain_tpu.lobes.features import Fbank
+    from speechbrain_tpu.lobes.models.convolution import ConvolutionFrontEnd
+    from speechbrain_tpu.utils.data_utils import pad_time_to_multiple
+
+    fbank = Fbank(n_mels=N_MELS)
+    frontend = ConvolutionFrontEnd(
+        num_blocks=2, out_channels=(64, 32), kernel_sizes=(3, 3),
+        strides=(2, 2),
+    )
+    wavs = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (ASR["batch"], int(SR * ASR["seconds"]))
+        ),
+        jnp.float32,
+    )
+    lens = jnp.ones((ASR["batch"],))
+    rng = jax.random.PRNGKey(0)
+    feats = fbank(wavs)
+    v_fe = frontend.init(rng, feats, train=False)
+    sub = frontend.apply(v_fe, feats, train=False)
+    sub, lens_p = pad_time_to_multiple(sub, lens, multiple=128)
+    tokens0 = jnp.zeros((ASR["batch"], 3), jnp.int32)
+    v = net.init(rng, sub, tokens0)
+    enc = jax.jit(
+        lambda s, l: net.apply(v, s, wav_len=l, method="encode")
+    )(sub, lens_p)
+    dec0, _ = net.apply(v, tokens0, enc, method="decode")
+    v_head = head.init(rng, dec0)
     enc.block_until_ready()
-
-    # a transformer-decoder stand-in: CTC head reinterpreted as a
-    # per-position LM over the encoder (keeps the bench self-contained
-    # while exercising the full fori_loop beam machinery + topk)
     max_len = 64
 
-    def decode_fn(buf, enc_states, enc_lens):
-        # (N, L) tokens -> (N, L, V) log-probs from pooled encoder context
-        pooled = jnp.mean(enc_states, axis=1, keepdims=True)  # (N, 1, D)
-        logits = lin.apply(v_lin, pooled)  # (N, 1, V)
-        logits = jnp.tile(logits, (1, buf.shape[1], 1))
-        return jax.nn.log_softmax(logits, axis=-1), None
+    if kv:
+        def decode_step_fn(toks, cache, enc_states, enc_lens, step):
+            out, new_cache, attn = net.apply(
+                v, toks, enc_states, cache, step, method="decode_step"
+            )
+            return (
+                jax.nn.log_softmax(head.apply(v_head, out), -1),
+                new_cache, attn,
+            )
 
-    searcher = S2STransformerBeamSearcher(
-        decode_fn=decode_fn, max_length=max_len, bos_index=0, eos_index=0,
-        min_decode_ratio=0.0, max_decode_ratio=0.25, beam_size=4,
-    )
-    searcher(enc, lens)  # compile + run
+        searcher = S2SKVBeamSearcher(
+            decode_step_fn,
+            lambda n, e, l: net.apply(
+                v, n, max_len, method="init_decoder_cache"
+            ),
+            bos_index=0, eos_index=0, min_decode_ratio=0.0,
+            max_decode_ratio=0.2, beam_size=4,
+        )
+    else:
+        def decode_fn(buf, enc_states, enc_lens):
+            out, attn = net.apply(v, buf, enc_states, method="decode")
+            return jax.nn.log_softmax(head.apply(v_head, out), -1), attn
+
+        searcher = S2STransformerBeamSearcher(
+            decode_fn=decode_fn, max_length=max_len, bos_index=0,
+            eos_index=0, min_decode_ratio=0.0, max_decode_ratio=0.2,
+            beam_size=4,
+        )
+    searcher(enc, lens_p)  # compile + run
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        searcher(enc, lens)
+        searcher(enc, lens_p)
     dt = (time.perf_counter() - t0) / iters
     return ASR["batch"] * ASR["seconds"] / dt
 
@@ -298,7 +354,13 @@ def main():
              value / baseline if baseline else None)
         return
     if "--decode" in sys.argv:
-        emit("conformer_asr_beam_decode_throughput", bench_decode(), None)
+        kv = "--no-kv" not in sys.argv
+        emit(
+            "conformer_asr_beam_decode_throughput"
+            + ("" if kv else "_nokv"),
+            bench_decode(kv=kv),
+            None,
+        )
         return
     bf16 = "--bf16" in sys.argv
     value = bench_asr(bf16=bf16)

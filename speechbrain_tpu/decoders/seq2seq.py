@@ -552,13 +552,16 @@ class _WhisperDecodeMixin:
     """
 
     def _setup_whisper(self, model, prompt_ids, max_length, suppress_ids,
-                       max_gen_tokens, temperature):
+                       max_gen_tokens, temperature, use_kv_cache=None):
         self.model = model
         self.prompt_ids = [int(t) for t in prompt_ids]
         self.max_length = max_length
         self.suppress_ids = tuple(int(t) for t in suppress_ids)
         self.max_gen_tokens = max_gen_tokens
         self.whisper_temperature = temperature
+        if use_kv_cache is None:
+            use_kv_cache = hasattr(model, "forward_decoder_step")
+        self.use_kv_cache = use_kv_cache
 
     def change_max_decoding_length(self, min_decode_steps, max_decode_steps):
         cap = min(self.max_length - len(self.prompt_ids), self.max_gen_tokens)
@@ -572,6 +575,19 @@ class _WhisperDecodeMixin:
 
     def reset_mem(self, batch_size, enc_states, enc_lens):
         P = len(self.prompt_ids)
+        if self.use_kv_cache:
+            # warm the KV cache with the prompt prefix (all but the last
+            # prompt token, which is the loop's bos)
+            cache = self.model.init_decode_cache(
+                batch_size, self._buffer_len(enc_states.shape[1]),
+                enc_states,
+            )
+            for pos, tok in enumerate(self.prompt_ids[:-1]):
+                toks = jnp.full((batch_size,), tok, jnp.int32)
+                _, cache = self.model.forward_decoder_step(
+                    enc_states, toks, cache, pos
+                )
+            return {"cache": cache}
         buf = jnp.full(
             (batch_size, self._buffer_len(enc_states.shape[1])),
             self.eos_index, jnp.int32,
@@ -581,6 +597,18 @@ class _WhisperDecodeMixin:
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens, step):
         P = len(self.prompt_ids)
+        if self.use_kv_cache:
+            logits, cache = self.model.forward_decoder_step(
+                enc_states, inp_tokens, memory["cache"], step + P - 1
+            )
+            logp = jax.nn.log_softmax(
+                logits / self.whisper_temperature, axis=-1
+            )
+            if self.suppress_ids:
+                logp = logp.at[:, jnp.asarray(self.suppress_ids)].set(
+                    NEG_INF
+                )
+            return logp, {"cache": cache}, None
         buf = memory["tokens"].at[:, step + P - 1].set(inp_tokens)
         logits = self.model.forward_decoder(enc_states, buf)
         logp_all = jax.nn.log_softmax(
@@ -600,7 +628,8 @@ class S2SWhisperGreedySearcher(_WhisperDecodeMixin, S2SGreedySearcher):
 
     def __init__(self, model, prompt_ids, eos_index, max_length=448,
                  suppress_ids=(), max_gen_tokens=224, temperature=1.0,
-                 min_decode_ratio=0.0, max_decode_ratio=1.0, **kwargs):
+                 min_decode_ratio=0.0, max_decode_ratio=1.0,
+                 use_kv_cache=None, **kwargs):
         S2SGreedySearcher.__init__(
             self,
             bos_index=int(prompt_ids[-1]),
@@ -611,7 +640,7 @@ class S2SWhisperGreedySearcher(_WhisperDecodeMixin, S2SGreedySearcher):
         )
         self._setup_whisper(
             model, prompt_ids, max_length, suppress_ids, max_gen_tokens,
-            temperature,
+            temperature, use_kv_cache,
         )
 
 
@@ -622,7 +651,7 @@ class S2SWhisperBeamSearcher(_WhisperDecodeMixin, S2SBeamSearcher):
     def __init__(self, model, prompt_ids, eos_index, beam_size=4,
                  max_length=448, suppress_ids=(), max_gen_tokens=224,
                  temperature=1.0, min_decode_ratio=0.0, max_decode_ratio=1.0,
-                 **kwargs):
+                 use_kv_cache=None, **kwargs):
         S2SBeamSearcher.__init__(
             self,
             bos_index=int(prompt_ids[-1]),
@@ -634,5 +663,50 @@ class S2SWhisperBeamSearcher(_WhisperDecodeMixin, S2SBeamSearcher):
         )
         self._setup_whisper(
             model, prompt_ids, max_length, suppress_ids, max_gen_tokens,
-            temperature,
+            temperature, use_kv_cache,
         )
+
+
+# ---------------------------------------------------------------------------
+# KV-cached searchers: O(L) per decode step via explicit per-layer K/V
+# buffers instead of re-running the decoder over the whole token buffer
+# (the serving-speed path; pairs with TransformerASR.decode_step)
+# ---------------------------------------------------------------------------
+
+class _KVDecodeMixin:
+    """``decode_step_fn(tokens (N,), cache, enc_states, enc_lens, step)``
+    -> (vocab log-probs (N, V), new_cache, attn);
+    ``init_cache_fn(n, enc_states, enc_lens)`` -> cache pytree whose
+    leaves are batch-leading (the beam predecessor gather permutes
+    axis 0)."""
+
+    def _setup_kv(self, decode_step_fn, init_cache_fn):
+        self.decode_step_fn = decode_step_fn
+        self.init_cache_fn = init_cache_fn
+
+    def reset_mem(self, batch_size, enc_states, enc_lens):
+        return self.init_cache_fn(batch_size, enc_states, enc_lens)
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens, step):
+        log_probs, new_cache, attn = self.decode_step_fn(
+            inp_tokens, memory, enc_states, enc_lens, step
+        )
+        return log_probs, new_cache, attn
+
+
+class S2SKVGreedySearcher(_KVDecodeMixin, S2SGreedySearcher):
+    """Greedy decoding over a KV-cached decode step."""
+
+    def __init__(self, decode_step_fn, init_cache_fn, **kwargs):
+        S2SGreedySearcher.__init__(self, **kwargs)
+        self._setup_kv(decode_step_fn, init_cache_fn)
+
+
+class S2SKVBeamSearcher(_KVDecodeMixin, S2SBeamSearcher):
+    """Batched beam search over a KV-cached decode step: hypothesis
+    K/V buffers ride the standard predecessor gather (axis-0 permute of
+    the cache pytree)."""
+
+    def __init__(self, decode_step_fn, init_cache_fn, **kwargs):
+        S2SBeamSearcher.__init__(self, **kwargs)
+        self._setup_kv(decode_step_fn, init_cache_fn)

@@ -98,6 +98,30 @@ class Whisper(HFTransformersInterface):
             logits = jax.lax.stop_gradient(logits)
         return logits
 
+    def init_decode_cache(self, batch_size, max_length, encoder_out):
+        """Flax KV cache for incremental decoding (batch-leading leaves,
+        so beam search can permute hypotheses with an axis-0 gather)."""
+        return self.model.init_cache(
+            batch_size, max_length, (encoder_out,)
+        )
+
+    def forward_decoder_step(self, encoder_out, tokens_t, cache, position):
+        """Decode ONE token with the KV cache: tokens_t (B,) ->
+        (logits (B, V), new_cache). O(enc_T + position) per step."""
+        out = self.model.decode(
+            decoder_input_ids=tokens_t[:, None],
+            encoder_outputs=(encoder_out,),
+            past_key_values=cache,
+            params=self.params,
+            decoder_position_ids=jnp.full(
+                (tokens_t.shape[0], 1), position, jnp.int32
+            ),
+        )
+        logits = out.logits[:, 0]
+        if self.freeze:
+            logits = jax.lax.stop_gradient(logits)
+        return logits, out.past_key_values
+
     def __call__(self, wav, decoder_input_ids=None):
         enc = self.forward_encoder(wav)
         if self.encoder_only or decoder_input_ids is None:

@@ -183,7 +183,13 @@ class TransformerDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
                  tgt_key_padding_mask=None, memory_key_padding_mask=None,
-                 pos_embs_tgt=None, pos_embs_src=None, train=False):
+                 pos_embs_tgt=None, pos_embs_src=None, train=False,
+                 cache=None, cache_index=None):
+        """Full-sequence decode, or KV-cached incremental decode of ONE
+        position when ``cache`` ({"self": {"k","v"}}) is given: tgt is
+        (B, 1, D), the step's projected K/V are written at cache_index,
+        and self-attention runs over the cached prefix — O(L) per step.
+        Returns (out, new_cache, cross_w) in cache mode."""
         self_attn = _make_attention(
             self.attention_type, self.d_model, self.nhead, self.dropout
         )
@@ -195,11 +201,19 @@ class TransformerDecoderLayer(nn.Module):
             tgt1 = LayerNorm(name="norm1")(tgt)
         else:
             tgt1 = tgt
-        out, self_w = self_attn(
-            tgt1, tgt1, tgt1, attn_mask=tgt_mask,
-            key_padding_mask=tgt_key_padding_mask, pos_embs=pos_embs_tgt,
-            train=train,
-        )
+        new_cache = None
+        if cache is not None:
+            out, self_w, self_cache = self_attn(
+                tgt1, tgt1, tgt1, cache=cache["self"],
+                cache_index=cache_index,
+            )
+            new_cache = {"self": self_cache}
+        else:
+            out, self_w = self_attn(
+                tgt1, tgt1, tgt1, attn_mask=tgt_mask,
+                key_padding_mask=tgt_key_padding_mask, pos_embs=pos_embs_tgt,
+                train=train,
+            )
         tgt = tgt + out
         if not self.normalize_before:
             tgt = LayerNorm(name="norm1")(tgt)
@@ -226,6 +240,8 @@ class TransformerDecoderLayer(nn.Module):
         tgt = tgt + out
         if not self.normalize_before:
             tgt = LayerNorm(name="norm3")(tgt)
+        if cache is not None:
+            return tgt, new_cache, cross_w
         return tgt, self_w, cross_w
 
 
@@ -244,11 +260,13 @@ class TransformerDecoder(nn.Module):
     @nn.compact
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
                  tgt_key_padding_mask=None, memory_key_padding_mask=None,
-                 pos_embs_tgt=None, pos_embs_src=None, train=False):
+                 pos_embs_tgt=None, pos_embs_src=None, train=False,
+                 cache=None, cache_index=None):
         output = tgt
         self_attns, cross_attns = [], []
+        new_cache = [] if cache is not None else None
         for i in range(self.num_layers):
-            output, sa, ca = TransformerDecoderLayer(
+            layer = TransformerDecoderLayer(
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
                 d_model=self.d_model,
@@ -257,12 +275,43 @@ class TransformerDecoder(nn.Module):
                 normalize_before=self.normalize_before,
                 attention_type=self.attention_type,
                 name=f"layer_{i}",
-            )(
-                output, memory, tgt_mask, memory_mask, tgt_key_padding_mask,
-                memory_key_padding_mask, pos_embs_tgt, pos_embs_src, train,
             )
+            if cache is not None:
+                output, lc, ca = layer(
+                    output, memory,
+                    memory_key_padding_mask=memory_key_padding_mask,
+                    cache=cache[i], cache_index=cache_index,
+                )
+                new_cache.append(lc)
+                sa = None
+            else:
+                output, sa, ca = layer(
+                    output, memory, tgt_mask, memory_mask,
+                    tgt_key_padding_mask, memory_key_padding_mask,
+                    pos_embs_tgt, pos_embs_src, train,
+                )
             self_attns.append(sa)
             cross_attns.append(ca)
         if self.normalize_before:
             output = LayerNorm(name="norm")(output)
+        if cache is not None:
+            return output, new_cache, cross_attns
         return output, self_attns, cross_attns
+
+    def init_cache(self, batch_size, max_len, dtype=jnp.float32):
+        """Explicit KV cache pytree for incremental decoding: one
+        {"self": {"k", "v"}} buffer of (B, max_len, H, hd) per layer."""
+        hd = self.d_model // self.nhead
+        return [
+            {
+                "self": {
+                    "k": jnp.zeros(
+                        (batch_size, max_len, self.nhead, hd), dtype
+                    ),
+                    "v": jnp.zeros(
+                        (batch_size, max_len, self.nhead, hd), dtype
+                    ),
+                }
+            }
+            for _ in range(self.num_layers)
+        ]

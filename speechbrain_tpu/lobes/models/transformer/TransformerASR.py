@@ -230,6 +230,34 @@ class TransformerASR(nn.Module):
         )
         return out, cross_attns[-1]
 
+    def init_decoder_cache(self, batch_size, max_len):
+        """Explicit per-layer KV buffers for incremental decoding
+        (decode_step); call via apply(..., method="init_decoder_cache")."""
+        return self.decoder.init_cache(batch_size, max_len)
+
+    def decode_step(self, tgt_tokens, encoder_out, cache, step, enc_len=None):
+        """KV-cached decode of ONE token: tgt_tokens (B,) int32 just
+        consumed -> (decoder out (B, D), new_cache, last cross-attn).
+        O(enc_T + step) work per step vs the full-buffer decode's
+        O(L * (enc_T + L)) — the serving-speed path for beam search."""
+        import jax
+
+        emb = self.custom_tgt_module(tgt_tokens[:, None])  # (B, 1, D)
+        L = cache[0]["self"]["k"].shape[1]
+        pe = self.pos_enc_dec(jnp.zeros((1, L, emb.shape[-1]), emb.dtype))
+        emb = emb + jax.lax.dynamic_slice_in_dim(pe, step, 1, axis=1)
+        memory_key_padding_mask = None
+        if enc_len is not None:
+            memory_key_padding_mask = get_key_padding_mask(
+                enc_len, encoder_out.shape[1]
+            )
+        out, new_cache, cross_attns = self.decoder(
+            emb, encoder_out,
+            memory_key_padding_mask=memory_key_padding_mask,
+            cache=cache, cache_index=step,
+        )
+        return out[:, 0], new_cache, cross_attns[-1]
+
     def __call__(self, src, tgt, wav_len=None, pad_idx=0,
                  dynchunktrain_config=None, train=False):
         src_proj, pos_embs = self._embed_src(src)

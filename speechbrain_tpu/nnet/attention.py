@@ -238,7 +238,14 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, attn_mask=None, key_padding_mask=None,
-                 pos_embs=None, train=False):
+                 pos_embs=None, train=False, cache=None, cache_index=None):
+        """Standard call, or INCREMENTAL-DECODE call when ``cache`` is
+        given: query is the new step (B, 1, D); the projected K/V of
+        that step are written into the explicit cache pytree
+        {"k": (B, L, H, hd), "v": ...} at ``cache_index`` and attention
+        runs over the valid prefix only — O(L) per step instead of
+        re-encoding the whole buffer. Returns (out, weights, new_cache)
+        in cache mode (state explicit, jit/scan-friendly)."""
         from speechbrain_tpu.nnet.linear import Linear
 
         B, Tq, _ = query.shape
@@ -247,6 +254,32 @@ class MultiheadAttention(nn.Module):
         q = Linear(self.d_model, name="q_proj")(query)
         k = Linear(self.d_model, name="k_proj")(key)
         v = Linear(self.d_model, name="v_proj")(value)
+        if cache is not None:
+            k_new = k.reshape(B, Tq, self.nhead, hd)
+            v_new = v.reshape(B, Tq, self.nhead, hd)
+            cache = {
+                "k": jax.lax.dynamic_update_slice_in_dim(
+                    cache["k"], k_new, cache_index, axis=1
+                ),
+                "v": jax.lax.dynamic_update_slice_in_dim(
+                    cache["v"], v_new, cache_index, axis=1
+                ),
+            }
+            L = cache["k"].shape[1]
+            q = q.reshape(B, Tq, self.nhead, hd).transpose(0, 2, 1, 3)
+            kc = cache["k"].transpose(0, 2, 1, 3)  # (B, H, L, hd)
+            vc = cache["v"].transpose(0, 2, 1, 3)
+            # causal prefix: only cached positions <= cache_index attend
+            bias = jnp.where(
+                (jnp.arange(L) <= cache_index)[None, None, None, :],
+                0.0, NEG_INF,
+            )
+            out, w = scaled_dot_product_attention(
+                q, kc, vc, bias, None, 0.0, False
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+            out = Linear(self.d_model, name="out_proj")(out)
+            return out, jnp.mean(w, axis=1), cache
         q = q.reshape(B, Tq, self.nhead, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, Tk, self.nhead, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, Tk, self.nhead, hd).transpose(0, 2, 1, 3)

@@ -1,0 +1,99 @@
+"""KV-cached incremental decoding must match the full-buffer decode
+exactly: same tiny TransformerASR, same heads — the cached searchers
+(S2SKVGreedySearcher/S2SKVBeamSearcher) and the buffer-based ones must
+produce identical hypotheses (decoders/seq2seq.py; the O(L) serving
+path for reference seq2seq.py:1853-style search)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechbrain_tpu.decoders.seq2seq import (
+    S2SKVBeamSearcher,
+    S2SKVGreedySearcher,
+    S2STransformerBeamSearcher,
+    S2STransformerGreedySearcher,
+)
+from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+    TransformerASR,
+)
+from speechbrain_tpu.nnet.linear import Linear
+
+VOCAB, BOS, EOS = 12, 0, 0
+MAX_LEN = 10
+
+
+@pytest.fixture(scope="module")
+def model_and_enc():
+    net = TransformerASR(
+        tgt_vocab=VOCAB, input_size=8, d_model=16, nhead=4,
+        num_encoder_layers=1, num_decoder_layers=2, d_ffn=32,
+    )
+    rng = jax.random.PRNGKey(3)
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 20, 8)), jnp.float32
+    )
+    tokens = jnp.zeros((2, 3), jnp.int32)
+    v = net.init(rng, feats, tokens)
+    head = Linear(n_neurons=VOCAB)
+    enc = net.apply(v, feats, method="encode")
+    dec0, _ = net.apply(v, tokens, enc, method="decode")
+    v_head = head.init(rng, dec0)
+    return net, v, head, v_head, enc
+
+
+def _buffer_fns(net, v, head, v_head):
+    def decode_fn(buf, enc_states, enc_lens):
+        out, attn = net.apply(v, buf, enc_states, method="decode")
+        logits = head.apply(v_head, out)
+        return jax.nn.log_softmax(logits, axis=-1), attn
+
+    return decode_fn
+
+
+def _kv_fns(net, v, head, v_head):
+    def decode_step_fn(tokens, cache, enc_states, enc_lens, step):
+        out, new_cache, attn = net.apply(
+            v, tokens, enc_states, cache, step, method="decode_step"
+        )
+        logits = head.apply(v_head, out)
+        return jax.nn.log_softmax(logits, axis=-1), new_cache, attn
+
+    def init_cache_fn(n, enc_states, enc_lens):
+        return net.apply(v, n, MAX_LEN, method="init_decoder_cache")
+
+    return decode_step_fn, init_cache_fn
+
+
+def test_kv_greedy_matches_buffer_greedy(model_and_enc):
+    net, v, head, v_head, enc = model_and_enc
+    common = dict(bos_index=BOS, eos_index=EOS, min_decode_ratio=0.0,
+                  max_decode_ratio=0.4)
+    buf = S2STransformerGreedySearcher(
+        decode_fn=_buffer_fns(net, v, head, v_head), vocab_size=VOCAB,
+        max_length=MAX_LEN, **common,
+    )
+    step_fn, init_fn = _kv_fns(net, v, head, v_head)
+    kv = S2SKVGreedySearcher(step_fn, init_fn, **common)
+    h1, _, s1, _ = buf(enc, jnp.ones(2))
+    h2, _, s2, _ = kv(enc, jnp.ones(2))
+    assert h1 == h2, (h1, h2)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+
+def test_kv_beam_matches_buffer_beam(model_and_enc):
+    net, v, head, v_head, enc = model_and_enc
+    common = dict(bos_index=BOS, eos_index=EOS, min_decode_ratio=0.0,
+                  max_decode_ratio=0.4, beam_size=4)
+    buf = S2STransformerBeamSearcher(
+        decode_fn=_buffer_fns(net, v, head, v_head), max_length=MAX_LEN,
+        **common,
+    )
+    step_fn, init_fn = _kv_fns(net, v, head, v_head)
+    kv = S2SKVBeamSearcher(step_fn, init_fn, **common)
+    h1, l1, s1, _ = buf(enc, jnp.ones(2))
+    h2, l2, s2, _ = kv(enc, jnp.ones(2))
+    assert h1 == h2, (h1, h2)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)

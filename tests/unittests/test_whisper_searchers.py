@@ -102,3 +102,48 @@ def test_whisper_buffer_includes_prompt(whisper_and_enc):
     buf = np.asarray(mem["tokens"])
     assert buf.shape[1] == 4 + len(PROMPT)
     assert (buf[:, : len(PROMPT)] == np.asarray(PROMPT)).all()
+
+
+class TinyWhisperKV(TinyWhisper):
+    """Adds the KV-cache decode contract (like the Whisper wrapper)."""
+
+    def init_decode_cache(self, batch_size, max_length, encoder_out):
+        return self.model.init_cache(batch_size, max_length, (encoder_out,))
+
+    def forward_decoder_step(self, encoder_out, tokens_t, cache, position):
+        out = self.model.decode(
+            decoder_input_ids=tokens_t[:, None],
+            encoder_outputs=(encoder_out,),
+            past_key_values=cache,
+            params=self.params,
+            decoder_position_ids=jnp.full(
+                (tokens_t.shape[0], 1), position, jnp.int32
+            ),
+        )
+        return out.logits[:, 0], out.past_key_values
+
+
+def test_whisper_kv_cache_matches_buffer_decode():
+    """The KV-cached Whisper searchers must produce the same hypotheses
+    as the full-buffer path (same underlying model)."""
+    tw = TinyWhisperKV()
+    mel = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 8, 32)), jnp.float32
+    )
+    enc = tw.encode(mel)
+    common = dict(prompt_ids=PROMPT, eos_index=EOS, max_gen_tokens=8)
+    buf = S2SWhisperGreedySearcher(model=tw, use_kv_cache=False, **common)
+    kv = S2SWhisperGreedySearcher(model=tw, use_kv_cache=True, **common)
+    h1, _, s1, _ = buf(enc, jnp.ones(2))
+    h2, _, s2, _ = kv(enc, jnp.ones(2))
+    assert h1 == h2, (h1, h2)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+    bbuf = S2SWhisperBeamSearcher(model=tw, beam_size=3,
+                                  use_kv_cache=False, **common)
+    bkv = S2SWhisperBeamSearcher(model=tw, beam_size=3,
+                                 use_kv_cache=True, **common)
+    h3, _, s3, _ = bbuf(enc, jnp.ones(2))
+    h4, _, s4, _ = bkv(enc, jnp.ones(2))
+    assert h3 == h4, (h3, h4)
+    np.testing.assert_allclose(s3, s4, atol=1e-4)
