@@ -44,11 +44,26 @@ def accumulatable_wer_stats(refs, hyps, stats=None):
     # derived fields must not double-accumulate
     for derived in ("WER", "num_edits"):
         updated_stats.pop(derived, None)
-    for ref, hyp in zip(refs, hyps):
-        table = op_table(ref, hyp)
-        edits = count_ops(table)
-        updated_stats.update(edits)
-        updated_stats.update({"num_ref_tokens": len(ref)})
+    refs = _batch_to_list(refs)
+    hyps = _batch_to_list(hyps)
+    from speechbrain_tpu.utils.editdist_native import edit_ops_batch
+
+    native = edit_ops_batch(refs, hyps)  # C++ core, GIL-free, threaded
+    if native is not None:
+        updated_stats.update(
+            {
+                "insertions": int(native[:, 0].sum()),
+                "deletions": int(native[:, 1].sum()),
+                "substitutions": int(native[:, 2].sum()),
+                "num_ref_tokens": sum(len(r) for r in refs),
+            }
+        )
+    else:
+        for ref, hyp in zip(refs, hyps):
+            table = op_table(ref, hyp)
+            edits = count_ops(table)
+            updated_stats.update(edits)
+            updated_stats.update({"num_ref_tokens": len(ref)})
     updated = dict(updated_stats)
     for key in ("insertions", "deletions", "substitutions"):
         updated.setdefault(key, 0)

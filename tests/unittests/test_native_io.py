@@ -66,3 +66,66 @@ def test_native_rejects_garbage(tmp_path):
     p.write_bytes(b"not a riff file at all")
     with pytest.raises(OSError):
         wav_info(p)
+
+
+def test_native_editdist_matches_python_dp():
+    """The C++ edit-ops core must reproduce the Python DP exactly
+    (same tie-breaking), across random pairs."""
+    import numpy as np
+
+    from speechbrain_tpu.utils import edit_distance as ed
+    from speechbrain_tpu.utils.editdist_native import (
+        edit_ops_batch,
+        native_available,
+    )
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("no compiler for the native core")
+    rng = np.random.default_rng(0)
+    refs, hyps = [], []
+    for _ in range(50):
+        refs.append(rng.integers(0, 8, size=rng.integers(0, 25)).tolist())
+        hyps.append(rng.integers(0, 8, size=rng.integers(0, 25)).tolist())
+    native = edit_ops_batch(refs, hyps)
+    for k, (r, h) in enumerate(zip(refs, hyps)):
+        edits = ed.count_ops(ed.op_table(r, h))
+        assert native[k, 0] == edits.get("insertions", 0), (k, r, h)
+        assert native[k, 1] == edits.get("deletions", 0), (k, r, h)
+        assert native[k, 2] == edits.get("substitutions", 0), (k, r, h)
+
+
+def test_native_editdist_speedup():
+    """Sanity: the native batch path beats the Python DP wall-clock on a
+    realistically sized eval batch (strings, like real WER eval)."""
+    import time
+
+    import numpy as np
+
+    from speechbrain_tpu.utils import edit_distance as ed
+    from speechbrain_tpu.utils.editdist_native import (
+        edit_ops_batch,
+        native_available,
+    )
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("no compiler for the native core")
+    rng = np.random.default_rng(1)
+    vocab = [f"w{i}" for i in range(200)]
+    refs = [
+        [vocab[i] for i in rng.integers(0, 200, size=30)] for _ in range(200)
+    ]
+    hyps = [
+        [vocab[i] for i in rng.integers(0, 200, size=30)] for _ in range(200)
+    ]
+    t0 = time.perf_counter()
+    edit_ops_batch(refs, hyps)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for r, h in zip(refs[:50], hyps[:50]):
+        ed.count_ops(ed.op_table(r, h))
+    t_python = (time.perf_counter() - t0) * 4  # extrapolate to 200
+    assert t_native < t_python, (t_native, t_python)
