@@ -106,3 +106,40 @@ def test_llama_wrapper_embed_and_generate(tmp_path):
     assert emb.shape == (2, 16)
     gen = llama.generate_greedy(ids, max_new_tokens=2)
     assert gen.shape == (1, 5)
+
+
+def test_gpt_wrapper_forward(tmp_path):
+    from speechbrain_tpu.integrations.huggingface.gpt import GPT
+
+    src = _write_config(tmp_path, {
+        "model_type": "gpt2",
+        "vocab_size": 40, "n_positions": 32, "n_embd": 16,
+        "n_layer": 1, "n_head": 2,
+    })
+    gpt = GPT(src, config_only=True)
+    ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    out = gpt(ids)
+    logits = out.logits if hasattr(out, "logits") else out
+    assert logits.shape == (1, 4, 40)
+
+
+def test_mbart_wrapper_forward(tmp_path):
+    from speechbrain_tpu.integrations.huggingface.mbart import mBART
+
+    src = _write_config(tmp_path, {
+        "model_type": "mbart",
+        "vocab_size": 40, "d_model": 16,
+        "encoder_layers": 1, "decoder_layers": 1,
+        "encoder_attention_heads": 2, "decoder_attention_heads": 2,
+        "encoder_ffn_dim": 32, "decoder_ffn_dim": 32,
+        "max_position_embeddings": 64,
+    })
+    mbart = mBART(src, config_only=True)
+    # speech-translation style: encoder takes projected speech features
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 7, 16)), jnp.float32
+    )
+    tokens = jnp.asarray([[2, 5, 6], [2, 7, 8]], jnp.int32)
+    out = mbart(feats, tokens)
+    logits = out.logits if hasattr(out, "logits") else out
+    assert logits.shape == (2, 3, 40)
