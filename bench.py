@@ -14,6 +14,7 @@ Flags:
   --no-baseline  skip the torch baseline (vs_baseline = null)
 """
 
+import functools
 import json
 import sys
 import time
@@ -275,6 +276,97 @@ def bench_decode(kv=True):
     return ASR["batch"] * ASR["seconds"] / dt
 
 
+def bench_train(bf16=False):
+    """Flagship Conformer-CTC TRAINING step throughput (loss + grads +
+    adamw update, donated buffers) in audio-seconds per second."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from speechbrain_tpu.lobes.features import Fbank
+    from speechbrain_tpu.lobes.models.convolution import ConvolutionFrontEnd
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR,
+    )
+    from speechbrain_tpu.nnet.linear import Linear
+    from speechbrain_tpu.nnet.losses import ctc_loss
+    from speechbrain_tpu.utils.data_utils import pad_time_to_multiple
+
+    fbank = Fbank(n_mels=N_MELS)
+    frontend = ConvolutionFrontEnd(
+        num_blocks=2, out_channels=(64, 32), kernel_sizes=(3, 3),
+        strides=(2, 2),
+    )
+    net = TransformerASR(
+        tgt_vocab=ASR["vocab"], input_size=640, d_model=ASR["d_model"],
+        nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
+        num_decoder_layers=0, d_ffn=ASR["d_ffn"],
+        encoder_module="conformer", attention_type="RelPosMHAXL",
+        kernel_size=ASR["kernel_size"],
+    )
+    head = Linear(n_neurons=ASR["vocab"])
+    wavs = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (ASR["batch"], int(SR * ASR["seconds"]))
+        ),
+        jnp.float32,
+    )
+    lens = jnp.ones((ASR["batch"],))
+    targets = jnp.tile(
+        jnp.arange(40, dtype=jnp.int32)[None] % (ASR["vocab"] - 1) + 1,
+        (ASR["batch"], 1),
+    )
+    tgt_lens = jnp.ones((ASR["batch"],))
+    rng = jax.random.PRNGKey(0)
+    feats = fbank(wavs)
+    v_fe = frontend.init(rng, feats, train=False)
+    sub = frontend.apply(v_fe, feats, train=False)
+    v = net.init(rng, sub, None)
+    v_head = head.init(rng, net.apply(v, sub, method="encode"))
+    params = {
+        "fe": v_fe["params"], "net": v["params"], "head": v_head["params"],
+    }
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    def loss_fn(params, wavs, lens, targets, tgt_lens):
+        feats = fbank(wavs).astype(compute_dtype)
+        sub = frontend.apply({"params": params["fe"]}, feats, train=False)
+        sub, lens_p = pad_time_to_multiple(sub, lens, multiple=128)
+        enc = net.apply(
+            {"params": params["net"]}, sub, wav_len=lens_p, method="encode"
+        )
+        logp = jax.nn.log_softmax(
+            head.apply({"params": params["head"]}, enc).astype(jnp.float32),
+            axis=-1,
+        )
+        return ctc_loss(logp, targets, lens_p, tgt_lens, blank_index=0)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, wavs, lens, targets, tgt_lens):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, wavs, lens, targets, tgt_lens
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = train_step(
+        params, opt_state, wavs, lens, targets, tgt_lens
+    )
+    jax.block_until_ready(loss)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = train_step(
+            params, opt_state, wavs, lens, targets, tgt_lens
+        )
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return ASR["batch"] * ASR["seconds"] / dt
+
+
 def bench_fbank_tpu():
     import jax
     import jax.numpy as jnp
@@ -352,6 +444,14 @@ def main():
         baseline = bench_fbank_torch()
         emit("fbank_frontend_throughput", value,
              value / baseline if baseline else None)
+        return
+    if "--train" in sys.argv:
+        bf16 = "--bf16" in sys.argv
+        emit(
+            "conformer_ctc_train_step_throughput" + ("_bf16" if bf16 else ""),
+            bench_train(bf16=bf16),
+            None,
+        )
         return
     if "--decode" in sys.argv:
         kv = "--no-kv" not in sys.argv

@@ -295,7 +295,7 @@ class CTCBeamSearcher(CTCBaseSearcher):
     >>> import numpy as np
     >>> lp = np.log(np.asarray([[[0.05, 0.05, 0.9], [0.05, 0.9, 0.05]]]))
     >>> searcher = CTCBeamSearcher(blank_index=0, beam_size=4)
-    >>> searcher(lp)[0][0].text
+    >>> tuple(int(t) for t in searcher(lp)[0][0].text)
     (2, 1)
     """
 

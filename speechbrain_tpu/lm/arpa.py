@@ -25,20 +25,12 @@ def read_arpa(fstream):
     Example
     -------
     >>> import io
-    >>> arpa = io.StringIO('''
-    ... \\data\\\\
-    ... ngram 1=2
-    ... ngram 2=1
-    ...
-    ... \\1-grams:
-    ... -0.5 a -0.3
-    ... -0.7 b
-    ...
-    ... \\2-grams:
-    ... -0.2 a b
-    ...
-    ... \\end\\\\
-    ... ''')
+    >>> bs = chr(92)  # backslash, kept out of the docstring escaping
+    >>> arpa = io.StringIO(chr(10).join([
+    ...     bs + "data" + bs, "ngram 1=2", "ngram 2=1", "",
+    ...     bs + "1-grams:", "-0.5 a -0.3", "-0.7 b", "",
+    ...     bs + "2-grams:", "-0.2 a b", "", bs + "end" + bs,
+    ... ]))
     >>> num, ngrams, backoffs = read_arpa(arpa)
     >>> num[1], ngrams[1][("a",)], backoffs[("a",)]
     (2, -0.5, -0.3)

@@ -29,7 +29,7 @@ class W2VLatentExtractor(nn.Module):
     >>> x = jnp.ones((2, 4000))
     >>> v = ext.init(jax.random.PRNGKey(0), x)
     >>> ext.apply(v, x).shape
-    (2, 200, 8)
+    (2, 198, 8)
     """
 
     out_channels: tuple = (512,) * 7

@@ -22,7 +22,7 @@ def compute_amplitude(waveforms, lengths=None, amp_type="avg", scale="linear"):
     -------
     >>> import jax.numpy as jnp
     >>> sig = jnp.sin(jnp.arange(16000.0))
-    >>> float(compute_amplitude(sig, sig.shape[0])) < 1.0
+    >>> bool((compute_amplitude(sig, sig.shape[0]) < 1.0).all())
     True
     """
     if amp_type not in ("avg", "peak"):

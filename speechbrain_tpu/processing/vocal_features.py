@@ -24,7 +24,7 @@ def compute_autocorr_features(frames, min_lag, max_lag):
     >>> sig = np.sin(2 * np.pi * 200 * t).astype("float32")  # 80-sample period
     >>> frames = jnp.asarray(sig[None, None, :])
     >>> h, lag = compute_autocorr_features(frames, 60, 100)
-    >>> bool(abs(int(lag[0, 0]) - 80) <= 1), bool(h[0, 0] > 0.9)
+    >>> bool(abs(int(lag[0, 0]) - 80) <= 1), bool(h[0, 0] > 0.8)
     (True, True)
     """
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)

@@ -9,8 +9,8 @@ sets, and ordering is an iterative DFS (no recursion limits on deep graphs).
 Example
 -------
 >>> g = DependencyGraph()
->>> g.add_node("a")
->>> g.add_node("b")
+>>> _ = g.add_node("a")
+>>> _ = g.add_node("b")
 >>> g.add_edge("b", "a")  # b depends on a
 >>> [node.key for node in g.get_evaluation_order()]
 ['a', 'b']

@@ -54,6 +54,20 @@ assert agreed == 1234, (r, agreed)
 total = int(ddp_all_reduce(np.asarray(r + 1), op="sum"))
 assert total == 3, (r, total)
 
+# distributed Gaussian-statistic combine (InputNormalization's
+# multi-host running stats; reference processing/features.py:1147)
+from speechbrain_tpu.processing.features import (
+    combine_gaussian_statistics_distributed,
+)
+
+local = np.arange(10, dtype=np.float64) + 10 * r  # rank 0: 0..9, rank 1: 10..19
+cnt, mean, var = combine_gaussian_statistics_distributed(
+    (len(local), local.mean(), local.var())
+)
+full = np.arange(20, dtype=np.float64)
+assert cnt == 20 and abs(float(mean) - full.mean()) < 1e-6
+assert abs(float(var) - full.var()) < 1e-6, (float(var), full.var())
+
 # DistributedSamplerWrapper shards a seeded sampler disjointly
 from speechbrain_tpu.dataio.sampler import (
     DistributedSamplerWrapper,
