@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""DNS noise suppression with a SepFormer masking network trained on
+SI-SNR (the reference's recipes/DNS/enhancement/train.py re-expressed
+for speechbrain_tpu; published valid-PESQ 2.06, PERFORMANCE.md:99)."""
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import optax
+
+import speechbrain_tpu as sb
+from speechbrain_tpu.dataio.dataio import read_audio
+from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+from speechbrain_tpu.nnet.losses import cal_si_snr
+from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
+
+
+class Enhance(sb.Brain):
+    def compute_forward(self, params, state, batch, stage, rng):
+        noisy, lens = batch["noisy_sig"]
+        est, _ = self.module_apply(
+            "model", params, state, noisy, train=stage == sb.Stage.TRAIN,
+            mutable_state=[],
+        )
+        return est[..., 0], state  # single enhancement "source"
+
+    def compute_objectives(self, est, batch, stage):
+        clean, _ = batch["clean_sig"]
+        return jnp.mean(cal_si_snr(clean[..., None], est[..., None]))
+
+    def init_forward(self, rng, eb):
+        noisy, lens = eb["noisy_sig"]
+        p, s = self.init_module(rng, "model", noisy, train=False)
+        out = {"params": {"model": p}}
+        for coll, tree in s.items():
+            out[coll] = {"model": tree}
+        return out
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        if stage == sb.Stage.TRAIN:
+            return
+        self.hparams.train_logger.log_stats(
+            stats_meta={"epoch": epoch},
+            train_stats={"si-snr": self.train_loss},
+            valid_stats={"si-snr": stage_loss},
+        )
+        self.save_checkpoint(meta={"si-snr": stage_loss},
+                             min_keys=["si-snr"])
+
+
+def dataio_prepare(hparams):
+    datasets = {}
+    for split, key in (("train", "train_annotation"),
+                       ("valid", "valid_annotation")):
+        ds = DynamicItemDataset.from_json(
+            hparams[key], replacements={"data_root": hparams["data_folder"]}
+        )
+        ds.add_dynamic_item(read_audio, takes="noisy_wav",
+                            provides="noisy_sig")
+        ds.add_dynamic_item(read_audio, takes="clean_wav",
+                            provides="clean_sig")
+        ds.set_output_keys(["id", "noisy_sig", "clean_sig"])
+        datasets[split] = ds
+    return datasets
+
+
+if __name__ == "__main__":
+    hparams_file, run_opts, overrides = sb.parse_arguments(sys.argv[1:])
+    with open(hparams_file, encoding="utf-8") as f:
+        hparams = load_hyperpyyaml(f, overrides)
+    sb.create_experiment_directory(
+        experiment_directory=hparams["output_folder"],
+        hyperparams_to_save=hparams_file,
+        overrides=overrides,
+    )
+    if not Path(hparams["train_annotation"]).exists() and run_opts.get(
+        "debug"
+    ):
+        sys.path.insert(0, str(Path(__file__).parent))
+        from prepare import prepare_synthetic
+
+        prepare_synthetic(hparams["data_folder"])
+    datasets = dataio_prepare(hparams)
+    brain = Enhance(
+        modules=hparams["modules"],
+        opt_class=lambda: optax.adam(hparams["lr"]),
+        hparams=hparams,
+        run_opts=run_opts,
+        checkpointer=hparams["checkpointer"],
+    )
+    brain.fit(
+        hparams["epoch_counter"],
+        datasets["train"],
+        datasets["valid"],
+        train_loader_kwargs={"batch_size": hparams["batch_size"],
+                             "shuffle": True},
+        valid_loader_kwargs={"batch_size": hparams["batch_size"]},
+    )
