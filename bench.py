@@ -205,7 +205,7 @@ def bench_decode(kv=True):
         nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
         num_decoder_layers=6, d_ffn=ASR["d_ffn"],
         encoder_module="conformer", attention_type="RelPosMHAXL",
-        kernel_size=ASR["kernel_size"],
+        kernel_size=ASR["kernel_size"], encoder_remat=remat,
     )
     head = Linear(n_neurons=ASR["vocab"])
     from speechbrain_tpu.lobes.features import Fbank
@@ -276,9 +276,10 @@ def bench_decode(kv=True):
     return ASR["batch"] * ASR["seconds"] / dt
 
 
-def bench_train(bf16=False):
+def bench_train(bf16=False, remat=False):
     """Flagship Conformer-CTC TRAINING step throughput (loss + grads +
-    adamw update, donated buffers) in audio-seconds per second."""
+    adamw update, donated buffers) in audio-seconds per second. ``remat``
+    rematerializes encoder layers (less activation HBM, more FLOPs)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -302,7 +303,7 @@ def bench_train(bf16=False):
         nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
         num_decoder_layers=0, d_ffn=ASR["d_ffn"],
         encoder_module="conformer", attention_type="RelPosMHAXL",
-        kernel_size=ASR["kernel_size"],
+        kernel_size=ASR["kernel_size"], encoder_remat=remat,
     )
     head = Linear(n_neurons=ASR["vocab"])
     wavs = jnp.asarray(
@@ -447,9 +448,11 @@ def main():
         return
     if "--train" in sys.argv:
         bf16 = "--bf16" in sys.argv
+        remat = "--remat" in sys.argv
         emit(
-            "conformer_ctc_train_step_throughput" + ("_bf16" if bf16 else ""),
-            bench_train(bf16=bf16),
+            "conformer_ctc_train_step_throughput"
+            + ("_bf16" if bf16 else "") + ("_remat" if remat else ""),
+            bench_train(bf16=bf16, remat=remat),
             None,
         )
         return

@@ -292,10 +292,21 @@ class ConformerEncoder(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     attention_type: str = "RelPosMHAXL"
+    # rematerialize each layer in the backward pass (jax.checkpoint):
+    # trades ~1/3 extra FLOPs for O(num_layers)x less activation HBM —
+    # the TPU lever for long-sequence / big-batch training
+    remat: bool = False
 
     def setup(self):
+        layer_cls = ConformerEncoderLayer
+        if self.remat:
+            # static: dynchunktrain_config (arg 5) + train (arg 6);
+            # arg 0 is the module itself
+            layer_cls = nn.remat(
+                ConformerEncoderLayer, static_argnums=(5, 6)
+            )
         self.layers = [
-            ConformerEncoderLayer(
+            layer_cls(
                 d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,

@@ -92,6 +92,7 @@ class TransformerASR(nn.Module):
     attention_type: str = "regularMHA"
     max_length: int = 2500
     causal: bool = False
+    encoder_remat: bool = False  # rematerialize encoder layers (training)
 
     def setup(self):
         self.custom_src_module = Linear(self.d_model, name="src_proj")
@@ -117,6 +118,7 @@ class TransformerASR(nn.Module):
                 dropout=self.dropout,
                 causal=self.causal,
                 attention_type=self.attention_type,
+                remat=self.encoder_remat,
                 name="encoder",
             )
         else:
@@ -129,6 +131,7 @@ class TransformerASR(nn.Module):
                 activation=self.activation,
                 normalize_before=self.normalize_before,
                 attention_type=self.attention_type,
+                remat=self.encoder_remat,
                 name="encoder",
             )
         if self.num_decoder_layers > 0:

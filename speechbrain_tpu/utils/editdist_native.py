@@ -60,6 +60,7 @@ def _load():
 
 
 def native_available():
+    """True when the compiled edit-distance core is usable."""
     return _load() is not None
 
 
