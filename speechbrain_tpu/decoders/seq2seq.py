@@ -75,9 +75,23 @@ class S2SGreedySearcher(S2SBaseSearcher):
     """
 
     def __call__(self, enc_states, wav_len):
-        B, T = enc_states.shape[0], enc_states.shape[1]
+        T = enc_states.shape[1]
         max_steps = max(1, int(T * self.max_decode_ratio))
         _, max_steps = self.change_max_decoding_length(0, max_steps)
+        scores, tokens_seq, log_probs_seq = self._greedy_jit(
+            enc_states, wav_len, max_steps
+        )
+        tokens_seq = jnp.moveaxis(tokens_seq, 0, 1)  # (B, L)
+        hyps, lengths = _trim_eos_batch(np.asarray(tokens_seq), self.eos_index)
+        return hyps, lengths, np.asarray(scores), np.moveaxis(
+            np.asarray(log_probs_seq), 0, 1
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _greedy_jit(self, enc_states, wav_len, max_steps):
+        """One compiled program per (shape, max_steps); cached across
+        calls like the beam searcher's _search_jit."""
+        B = enc_states.shape[0]
         memory = self.reset_mem(B, enc_states, wav_len)
 
         def body(carry, step):
@@ -102,11 +116,7 @@ class S2SGreedySearcher(S2SBaseSearcher):
         (_, _, _, scores), (tokens_seq, log_probs_seq) = jax.lax.scan(
             body, init, jnp.arange(max_steps)
         )
-        tokens_seq = jnp.moveaxis(tokens_seq, 0, 1)  # (B, L)
-        hyps, lengths = _trim_eos_batch(np.asarray(tokens_seq), self.eos_index)
-        return hyps, lengths, np.asarray(scores), np.moveaxis(
-            np.asarray(log_probs_seq), 0, 1
-        )
+        return scores, tokens_seq, log_probs_seq
 
 
 def _trim_eos_batch(tokens, eos_index):

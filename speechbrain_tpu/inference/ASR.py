@@ -164,7 +164,9 @@ class WhisperASR(Pretrained):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._searcher = None
+        # searchers memoized per (language, task): a searcher instance
+        # owns its jit cache, so rebuilding one per call would recompile
+        self._searchers = {}
         self._last_scores = None
 
     # -- prompt / token plumbing ---------------------------------------
@@ -274,13 +276,15 @@ class WhisperASR(Pretrained):
                          task=None):
         """On-device decode; returns (texts, token id lists)."""
         tok = self._tok()
-        if self._searcher is None or language is not None or task is not None:
-            self._searcher = self._make_searcher(language, task)
+        key = (language, task)
+        if key not in self._searchers:
+            self._searchers[key] = self._make_searcher(language, task)
+        searcher = self._searchers[key]
         enc = self.encode_batch(wavs, wav_lens)
         lens = jnp.ones((enc.shape[0],)) if wav_lens is None else jnp.asarray(
             wav_lens
         )
-        hyps, _lens, scores, _ = self._searcher(enc, lens)
+        hyps, _lens, scores, _ = searcher(enc, lens)
         self._last_scores = np.asarray(scores)
         texts = [
             tok.decode(h, skip_special_tokens=True).strip() for h in hyps
