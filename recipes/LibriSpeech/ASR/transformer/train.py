@@ -170,6 +170,16 @@ if __name__ == "__main__":
         hyperparams_to_save=hparams_file,
         overrides=overrides,
     )
+    if not Path(hparams["train_annotation"]).exists() and run_opts.get(
+        "debug"
+    ):
+        sys.path.insert(0, str(Path(__file__).parents[2]))
+        from librispeech_prepare import prepare_synthetic
+
+        prepare_synthetic(
+            hparams["data_folder"],
+            save_folder=Path(hparams["train_annotation"]).parent,
+        )
     tokenizer = SentencePiece(
         model_dir=hparams["save_folder"],
         vocab_size=hparams["vocab_size"],

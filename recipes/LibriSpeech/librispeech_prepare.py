@@ -63,6 +63,50 @@ def prepare_librispeech(
             json.dump(manifest, f, indent=1)
 
 
+WORDS = ["ALPHA", "BRAVO", "CHARLIE", "DELTA", "ECHO", "FOXTROT",
+         "GOLF", "HOTEL"]
+
+
+def prepare_synthetic(data_folder, save_folder=None, n_utts=12,
+                      sample_rate=16000, seed=0):
+    """Emit a tiny synthetic corpus with LibriSpeech-shaped manifests for
+    --debug runs and the recipe-test harness: each vocabulary word maps
+    to a distinctive tone, utterances are 2-4 word tone sequences."""
+    import numpy as np
+
+    from speechbrain_tpu.dataio.dataio import write_audio
+
+    save_folder = save_folder or data_folder
+    root = Path(data_folder)
+    root.mkdir(parents=True, exist_ok=True)
+    Path(save_folder).mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    manifests = {"train": {}, "dev": {}, "test": {}}
+    for i in range(n_utts):
+        n_words = int(rng.integers(2, 5))
+        idx = rng.integers(0, len(WORDS), size=n_words)
+        words = " ".join(WORDS[j] for j in idx)
+        segs = []
+        for j in idx:
+            t = np.arange(int(0.12 * sample_rate)) / sample_rate
+            segs.append(np.sin(2 * np.pi * (300 + 80 * j) * t))
+        sig = np.concatenate(segs).astype(np.float32) * 0.5
+        sig += 0.01 * rng.standard_normal(len(sig)).astype(np.float32)
+        path = root / f"synth_{i}.wav"
+        write_audio(str(path), sig, sample_rate)
+        split = ("dev" if i % 6 == 4 else "test" if i % 6 == 5 else "train")
+        manifests[split][f"synth_{i}"] = {
+            "wav": str(path),
+            "words": words,
+            "spk_id": f"spk{i % 3}",
+            "length": len(sig) / sample_rate,
+        }
+    for split, manifest in manifests.items():
+        with open(Path(save_folder) / f"{split}.json", "w",
+                  encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+
+
 def _duration(path):
     """Audio length in seconds (WAV via native header read; FLAC via a
     cheap STREAMINFO parse; fallback 0.0 so sorting still works)."""
