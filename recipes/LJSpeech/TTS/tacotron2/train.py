@@ -9,6 +9,7 @@ Run: ``python train.py hparams/train.yaml --data_folder=...``.
 """
 
 import sys
+from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +74,38 @@ class Tacotron2Brain(sb.Brain):
                                  min_keys=["loss"])
 
 
+
+def prepare_synthetic(data_folder, n_utts=8, sample_rate=16000, seed=0):
+    """Tiny (text, tone) pairs for --debug runs / recipe tests."""
+    import json
+
+    root = Path(data_folder)
+    root.mkdir(parents=True, exist_ok=True)
+    from speechbrain_tpu.dataio.dataio import write_audio
+
+    rng = np.random.default_rng(seed)
+    words = ["light", "sound", "voice", "tone"]
+    manifests = {"train": {}, "valid": {}}
+    for i in range(n_utts):
+        idx = [(i + j) % len(words) for j in range(2)]
+        sig = np.concatenate([
+            np.sin(2 * np.pi * (220 + 90 * w)
+                   * np.arange(int(0.2 * sample_rate)) / sample_rate)
+            for w in idx
+        ]).astype(np.float32) * 0.5
+        path = root / f"lj_{i}.wav"
+        write_audio(str(path), sig, sample_rate)
+        split = "valid" if i >= n_utts - 2 else "train"
+        manifests[split][f"lj_{i}"] = {
+            "wav": str(path),
+            "label": " ".join(words[w] for w in idx),
+            "length": len(sig) / sample_rate,
+        }
+    for split, manifest in manifests.items():
+        with open(root / f"{split}.json", "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+
+
 def dataio_prepare(hparams):
     """Text -> symbol ids; audio -> HiFiGAN mel + stop gate."""
     datasets = {}
@@ -120,6 +153,11 @@ if __name__ == "__main__":
         hyperparams_to_save=hparams_file,
         overrides=overrides,
     )
+    if not Path(hparams["train_annotation"]).exists() and run_opts.get(
+        "debug"
+    ):
+        prepare_synthetic(hparams["data_folder"],
+                          sample_rate=hparams["sample_rate"])
     datasets = dataio_prepare(hparams)
     brain = Tacotron2Brain(
         modules=hparams["modules"],

@@ -15,9 +15,11 @@ Expects JSON manifests {utt: {"noisy_wav": p, "clean_wav": p,
 """
 
 import sys
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 import speechbrain_tpu as sb
@@ -91,6 +93,37 @@ class MetricGanBrain(sb.Brain):
         return self.spec_mag(noisy), self.spec_mag(clean), lens
 
 
+
+def prepare_synthetic(data_folder, n_utts=8, sample_rate=16000, seed=0):
+    """Tiny noisy/clean pairs for --debug runs / recipe tests."""
+    import json
+
+    root = Path(data_folder)
+    root.mkdir(parents=True, exist_ok=True)
+    from speechbrain_tpu.dataio.dataio import write_audio
+
+    rng = np.random.default_rng(seed)
+    manifests = {"train": {}, "valid": {}}
+    T = sample_rate
+    t = np.arange(T) / sample_rate
+    for i in range(n_utts):
+        clean = (0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+                 ).astype(np.float32)
+        noisy = clean + 0.2 * rng.standard_normal(T).astype(np.float32)
+        cp = root / f"clean_{i}.wav"
+        np_ = root / f"noisy_{i}.wav"
+        write_audio(str(cp), clean, sample_rate)
+        write_audio(str(np_), noisy, sample_rate)
+        split = "valid" if i >= n_utts - 2 else "train"
+        manifests[split][f"u{i}"] = {
+            "clean_wav": str(cp), "noisy_wav": str(np_),
+            "length": T / sample_rate,
+        }
+    for split, manifest in manifests.items():
+        with open(root / f"{split}.json", "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+
+
 def dataio_prepare(hparams):
     """Noisy/clean paired pipelines."""
     datasets = {}
@@ -117,6 +150,10 @@ def main():
         hyperparams_to_save=hparams_file,
         overrides=overrides,
     )
+    if not Path(hparams["train_annotation"]).exists() and run_opts.get(
+        "debug"
+    ):
+        prepare_synthetic(hparams["data_folder"])
     datasets = dataio_prepare(hparams)
     brain = MetricGanBrain(
         modules=hparams["modules"],

@@ -7,6 +7,7 @@ speaker_verification_cosine.py.
 """
 
 import sys
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +133,13 @@ if __name__ == "__main__":
         hyperparams_to_save=hparams_file,
         overrides=overrides,
     )
+    if not Path(hparams["train_annotation"]).exists() and run_opts.get(
+        "debug"
+    ):
+        sys.path.insert(0, str(Path(__file__).parent))
+        from prepare import prepare_synthetic
+
+        prepare_synthetic(hparams["data_folder"])
     datasets = dataio_prepare(hparams)
     brain = SpeakerBrain(
         modules=hparams["modules"],

@@ -9,6 +9,7 @@ Expects JSON manifests {utt: {"mix_wav": p, "s1_wav": p, "s2_wav": p,
 """
 
 import sys
+from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
@@ -115,6 +116,18 @@ if __name__ == "__main__":
         hyperparams_to_save=hparams_file,
         overrides=overrides,
     )
+    if not Path(hparams["train_annotation"]).exists() and run_opts.get(
+        "debug"
+    ):
+        sys.path.insert(
+            0, str(Path(__file__).parents[2] / "LibriMix" / "separation")
+        )
+        from prepare import prepare_synthetic
+
+        prepare_synthetic(
+            Path(hparams["train_annotation"]).parent,
+            sample_rate=hparams["sample_rate"],
+        )
     datasets = dataio_prepare(hparams)
     brain = Separation(
         modules=hparams["modules"],
