@@ -320,6 +320,10 @@ class ConformerEncoder(nn.Module):
             )
             for i in range(self.num_layers)
         ]
+        # final output norm after the layer stack (reference
+        # Conformer.py:606 builds LayerNorm(d_model, eps=1e-6) and
+        # applies it to the stack output — required for checkpoint parity)
+        self.norm = LayerNorm(eps=1e-6, name="norm")
 
     def __call__(self, src, src_mask=None, src_key_padding_mask=None,
                  pos_embs=None, dynchunktrain_config=None, train=False):
@@ -331,6 +335,7 @@ class ConformerEncoder(nn.Module):
                 dynchunktrain_config, train,
             )
             attns.append(attn)
+        output = self.norm(output)
         return output, attns
 
     # -- streaming ----------------------------------------------------------
@@ -345,6 +350,7 @@ class ConformerEncoder(nn.Module):
                 output, context["layers"][i], pos_embs
             )
             new_layers.append(layer_ctx)
+        output = self.norm(output)
         return output, {"layers": new_layers}
 
     def make_streaming_context(self, batch, left_context_size, dtype=jnp.float32):

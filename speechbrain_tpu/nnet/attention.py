@@ -337,8 +337,14 @@ class RelPosEncXL(nn.Module):
 
 
 def rel_pos_encoding(T, d, dtype=jnp.float32):
-    """Sinusoidal embeddings for relative positions T-1 .. -(T-1)."""
-    pos = np.arange(T - 1, -T, -1, dtype=np.float32)[:, None]
+    """Sinusoidal embeddings for relative positions T-1 .. -(T-1).
+
+    Matches the reference RelPosEncXL (nnet/attention.py:333) exactly:
+    both halves encode the |distance| — ``pe_future`` reuses the past
+    sinusoids (sin(|p|f), cos(|p|f)), so direction information comes
+    from the learned pos_bias_u/v and the rel-shift, not the embedding
+    sign. Required for checkpoint parity."""
+    pos = np.abs(np.arange(T - 1, -T, -1, dtype=np.float32))[:, None]
     inv_freq = np.exp(
         np.arange(0, d, 2, dtype=np.float32) * -(math.log(10000.0) / d)
     )
@@ -399,7 +405,9 @@ class RelPosMHAXL(nn.Module):
         content = jnp.einsum("bhqd,bhkd->bhqk", q_u, k_t)
         pos = jnp.einsum("bhqd,lhd->bhql", q_v, p[0])
         pos = _rel_shift(pos)  # (B,H,Tq,Tk)
-        scores = (content + pos) / math.sqrt(hd)
+        # the reference scales by 1/sqrt(embed_dim), NOT 1/sqrt(head_dim)
+        # (ref nnet/attention.py:521) — required for checkpoint parity
+        scores = (content + pos) / math.sqrt(self.embed_dim)
         bias = make_mask_bias(key_padding_mask, attn_mask, scores.dtype)
         if bias is not None:
             scores = scores + bias

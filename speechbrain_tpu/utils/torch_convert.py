@@ -357,3 +357,98 @@ def merge_lstm_biases(state):
         hh = f"{prefix}.bias_hh_l{layer}{rev}"
         out[f"{prefix}.bias_l{layer}{rev}"] = out.pop(key) + out.pop(hh)
     return out
+
+
+def conformer_encoder_key_map(key):
+    """Reference ConformerEncoder state_dict key -> flax path in our
+    ConformerEncoder (lobes/models/transformer/Conformer.py). Reference
+    module tree (ref Conformer.py:333-722): layers.{i}.(ffn_module1|
+    norm1|mha_layer|convolution_module|ffn_module2|norm2) + top-level
+    norm. Use together with :func:`split_conformer_inproj`, which
+    pre-splits the fused qkv projection and zero-fills our q/k/v biases
+    (the reference RelPosMHAXL has no input-projection biases)."""
+    k = re.sub(r"^layers\.(\d+)\.", r"layer_\1.", key)
+    k = k.replace(".ffn_module1.0.", ".norm_ff1.LayerNorm_0.")
+    k = k.replace(".ffn_module1.1.ffn.0.", ".ffn1.ffn1.")
+    k = k.replace(".ffn_module1.1.ffn.3.", ".ffn1.ffn2.")
+    k = k.replace(".ffn_module2.0.", ".norm_ff2.LayerNorm_0.")
+    k = k.replace(".ffn_module2.1.ffn.0.", ".ffn2.ffn1.")
+    k = k.replace(".ffn_module2.1.ffn.3.", ".ffn2.ffn2.")
+    k = k.replace(".norm1.norm.", ".norm_mha.LayerNorm_0.")
+    k = k.replace(".norm2.norm.", ".norm_out.LayerNorm_0.")
+    k = k.replace(".mha_layer.out_proj.", ".attn.out_proj.")
+    k = k.replace(".mha_layer.linear_pos.", ".attn.pos_proj.")
+    k = k.replace(".convolution_module.layer_norm.",
+                  ".conv.layer_norm.LayerNorm_0.")
+    k = k.replace(".convolution_module.bottleneck.0.", ".conv.pw1.")
+    k = k.replace(".convolution_module.conv.", ".conv.dw.")
+    k = k.replace(".convolution_module.after_conv.0.",
+                  ".conv.mid_norm.LayerNorm_0.")
+    k = k.replace(".convolution_module.after_conv.2.", ".conv.pw2.")
+    k = re.sub(r"^norm\.norm\.", "norm.LayerNorm_0.", k)
+    if ".mha_layer.pos_bias_" in k:
+        return "params/" + k.replace(
+            ".mha_layer.pos_bias_", ".attn.pos_bias_"
+        ).replace(".", "/")
+    if k.endswith(".weight"):
+        stem = k[: -len(".weight")]
+        if "LayerNorm_0" in stem:
+            return "params/" + stem.replace(".", "/") + "/scale"
+        dst = "params/" + stem.replace(".", "/") + "/kernel"
+        # 2-D linear weights need the explicit (out, in) -> (in, out)
+        # transpose: auto-detection is ambiguous for square matrices
+        if any(t in stem for t in (".ffn1.", ".ffn2.", ".out_proj",
+                                   ".pos_proj")):
+            return (dst, (1, 0))
+        return dst
+    if k.endswith(".bias"):
+        return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
+    if k.endswith((".q_kernel", ".k_kernel", ".v_kernel")):
+        which = k[-len("q_kernel")]
+        stem = k[: -len(".q_kernel")]
+        return ("params/" + stem.replace(".", "/")
+                + f"/attn/{which}_proj/kernel")
+    if k.endswith((".q_bias", ".k_bias", ".v_bias")):
+        which = k[-len("q_bias")]
+        stem = k[: -len(".q_bias")]
+        return ("params/" + stem.replace(".", "/")
+                + f"/attn/{which}_proj/bias")
+    return None
+
+
+def split_conformer_inproj(state, nhead):
+    """Pre-split the reference RelPosMHAXL fused ``in_proj_weight``
+    (3d, d) into q/k/v kernels and add zero q/k/v biases (the reference
+    has none; our separate projections carry bias params). Also reshape
+    the 2-D ``after_conv.2`` linear to a K=1 pointwise conv so the
+    generic (out, in, K) -> (K, in, out) layout pass applies.
+
+    CRUCIAL layout detail: the reference's self-attention fast path does
+    ``linear(x, in_proj).view(B, T, H, 3*hd).chunk(3, -1)`` (ref
+    nnet/attention.py:568-573) — the fused output is interleaved PER
+    HEAD as [q_h | k_h | v_h] blocks, NOT three contiguous d-sized
+    blocks. The split must follow that layout or every head reads the
+    wrong rows."""
+    out = dict(state)
+    for key in list(out):
+        m = re.match(r"^(.*)\.mha_layer\.in_proj_weight$", key)
+        if m:
+            w = np.asarray(out.pop(key))
+            d = w.shape[0] // 3
+            hd = d // nhead
+            prefix = m.group(1)
+            # rows: head h occupies [h*3hd, (h+1)*3hd); within it
+            # q = [0, hd), k = [hd, 2hd), v = [2hd, 3hd)
+            per_head = w.reshape(nhead, 3, hd, w.shape[1])
+            for i, which in enumerate("qkv"):
+                rows = per_head[:, i].reshape(d, w.shape[1])
+                # store already in flax (in, out) layout — square
+                # matrices defeat shape-based transpose detection
+                out[f"{prefix}.{which}_kernel"] = rows.T
+                out[f"{prefix}.{which}_bias"] = np.zeros(
+                    (w.shape[1],), w.dtype
+                )
+        if re.search(r"\.after_conv\.2\.weight$", key):
+            w = np.asarray(out[key])
+            out[key] = w[:, :, None]  # (out, in) -> (out, in, K=1)
+    return out

@@ -199,3 +199,82 @@ def test_crdnn_torch_checkpoint_pours_to_output_parity(tmp_path):
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+def test_conformer_encoder_torch_checkpoint_pours_to_output_parity(tmp_path):
+    """Build the reference's torch ConformerEncoder (RelPosMHAXL +
+    conv module + half-FFNs + final eps-1e-6 norm, ref Conformer.py:606),
+    pour its state_dict through conformer_encoder_key_map, and assert
+    encoder outputs match within 1e-4 — the flagship
+    asr-conformer-transformerlm checkpoint path."""
+    for name, attrs in {
+        "hyperpyyaml": ["resolve_references", "load_hyperpyyaml",
+                        "dump_hyperpyyaml"],
+        "torchaudio": ["load", "save", "info"],
+    }.items():
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for a in attrs:
+                setattr(m, a, lambda *x, **k: None)
+            if name == "torchaudio":
+                m.__version__ = "2.0.0"
+                tr = types.ModuleType("torchaudio.transforms")
+                m.transforms = tr
+                sys.modules["torchaudio.transforms"] = tr
+            sys.modules[name] = m
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from speechbrain.lobes.models.transformer.Conformer import (
+        ConformerEncoder as TorchConformerEncoder,
+    )
+    from speechbrain.nnet.attention import RelPosEncXL as TorchRelPosEncXL
+
+    D, H, FFN, K, L = 16, 4, 32, 7, 2
+    tenc = TorchConformerEncoder(
+        num_layers=L, d_model=D, d_ffn=FFN, nhead=H, kernel_size=K,
+        dropout=0.0,
+    ).eval()
+    tpe_mod = TorchRelPosEncXL(D)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 12, D)).astype(np.float32)
+    with torch.no_grad():
+        tx = torch.from_numpy(x)
+        tpe = tpe_mod(tx)
+        tout = tenc(tx, pos_embs=tpe)[0].numpy()
+
+    ckpt = tmp_path / "conformer.ckpt"
+    torch.save(tenc.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.transformer.Conformer import (
+        ConformerEncoder,
+    )
+    from speechbrain_tpu.nnet.attention import RelPosEncXL
+    from speechbrain_tpu.utils.torch_convert import (
+        conformer_encoder_key_map,
+        load_torch_state_dict,
+        pour_torch_keys,
+        split_conformer_inproj,
+    )
+
+    enc = ConformerEncoder(
+        num_layers=L, d_model=D, d_ffn=FFN, nhead=H, kernel_size=K,
+        dropout=0.0,
+    )
+    jx = jnp.asarray(x)
+    pe = RelPosEncXL(emb_dim=D)(jx)
+    variables = enc.init(jax.random.PRNGKey(0), jx, pos_embs=pe)
+    state = split_conformer_inproj(load_torch_state_dict(str(ckpt)), nhead=H)
+    poured = pour_torch_keys(
+        state, variables, conformer_encoder_key_map, strict=True
+    )
+    # positional encodings must agree before the encoder comparison means
+    # anything
+    np.testing.assert_allclose(
+        np.asarray(pe), tpe.numpy(), rtol=1e-5, atol=1e-5
+    )
+    out, _ = enc.apply(poured, jx, pos_embs=pe)
+    np.testing.assert_allclose(np.asarray(out), tout, rtol=1e-4, atol=1e-4)
