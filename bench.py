@@ -205,7 +205,7 @@ def bench_decode(kv=True):
         nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
         num_decoder_layers=6, d_ffn=ASR["d_ffn"],
         encoder_module="conformer", attention_type="RelPosMHAXL",
-        kernel_size=ASR["kernel_size"], encoder_remat=remat,
+        kernel_size=ASR["kernel_size"],
     )
     head = Linear(n_neurons=ASR["vocab"])
     from speechbrain_tpu.lobes.features import Fbank
@@ -303,7 +303,7 @@ def bench_train(bf16=False, remat=False):
         nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
         num_decoder_layers=0, d_ffn=ASR["d_ffn"],
         encoder_module="conformer", attention_type="RelPosMHAXL",
-        kernel_size=ASR["kernel_size"], encoder_remat=remat,
+        kernel_size=ASR["kernel_size"],
     )
     head = Linear(n_neurons=ASR["vocab"])
     wavs = jnp.asarray(

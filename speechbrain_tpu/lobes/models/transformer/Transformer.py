@@ -177,8 +177,9 @@ class TransformerEncoder(nn.Module):
                 name=f"layer_{i}",
             )(output, src_mask, src_key_padding_mask, pos_embs, train)
             attns.append(attn)
-        if self.normalize_before:
-            output = LayerNorm(name="norm")(output)
+        # the reference applies the final eps-1e-6 norm UNCONDITIONALLY
+        # (ref Transformer.py:104,169) — not only for pre-norm stacks
+        output = LayerNorm(eps=1e-6, name="norm")(output)
         return output, attns
 
 
@@ -305,8 +306,8 @@ class TransformerDecoder(nn.Module):
                 )
             self_attns.append(sa)
             cross_attns.append(ca)
-        if self.normalize_before:
-            output = LayerNorm(name="norm")(output)
+        # unconditional final norm, matching the reference (:71,:119)
+        output = LayerNorm(eps=1e-6, name="norm")(output)
         if cache is not None:
             return output, new_cache, cross_attns
         return output, self_attns, cross_attns

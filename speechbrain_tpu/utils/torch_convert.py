@@ -452,3 +452,56 @@ def split_conformer_inproj(state, nhead):
             w = np.asarray(out[key])
             out[key] = w[:, :, None]  # (out, in) -> (out, in, K=1)
     return out
+
+
+def transformer_encoder_key_map(key):
+    """Reference vanilla TransformerEncoder (lobes/models/transformer/
+    Transformer.py:306, torch.nn.MultiheadAttention inside) -> our
+    TransformerEncoder. Use with :func:`split_torch_mha_inproj` for the
+    fused qkv (contiguous d-row blocks — torch's layout, unlike
+    RelPosMHAXL's per-head fast path)."""
+    k = re.sub(r"^layers\.(\d+)\.", r"layer_\1.", key)
+    k = k.replace(".self_att.att.out_proj.",
+                  ".MultiheadAttention_0.out_proj.")
+    k = k.replace(".pos_ffn.ffn.0.", ".ffn.ffn1.")
+    k = k.replace(".pos_ffn.ffn.3.", ".ffn.ffn2.")
+    k = k.replace(".norm1.norm.", ".norm1.LayerNorm_0.")
+    k = k.replace(".norm2.norm.", ".norm2.LayerNorm_0.")
+    k = re.sub(r"^norm\.norm\.", "norm.LayerNorm_0.", k)
+    if k.endswith(".weight"):
+        stem = k[: -len(".weight")]
+        if "LayerNorm_0" in stem:
+            return "params/" + stem.replace(".", "/") + "/scale"
+        return ("params/" + stem.replace(".", "/") + "/kernel", (1, 0))
+    if k.endswith(".bias"):
+        return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
+    m = re.match(r"^(.*)\.self_att\.att\.([qkv])_(kernel|bias)$", k)
+    if m:
+        stem, which, leaf = m.groups()
+        leaf = "kernel" if leaf == "kernel" else "bias"
+        return ("params/" + stem.replace(".", "/")
+                + f"/MultiheadAttention_0/{which}_proj/{leaf}")
+    return None
+
+
+def split_torch_mha_inproj(state):
+    """Split torch.nn.MultiheadAttention fused in_proj weight/bias into
+    q/k/v (contiguous d-row blocks, torch's documented layout). Kernels
+    are stored pre-transposed to flax (in, out)."""
+    out = dict(state)
+    for key in list(out):
+        m = re.match(r"^(.*)\.in_proj_weight$", key)
+        if m:
+            w = np.asarray(out.pop(key))
+            d = w.shape[0] // 3
+            for i, which in enumerate("qkv"):
+                out[f"{m.group(1)}.{which}_kernel"] = (
+                    w[i * d : (i + 1) * d].T
+                )
+        m = re.match(r"^(.*)\.in_proj_bias$", key)
+        if m:
+            b = np.asarray(out.pop(key))
+            d = b.shape[0] // 3
+            for i, which in enumerate("qkv"):
+                out[f"{m.group(1)}.{which}_bias"] = b[i * d : (i + 1) * d]
+    return out

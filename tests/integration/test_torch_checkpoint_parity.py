@@ -278,3 +278,52 @@ def test_conformer_encoder_torch_checkpoint_pours_to_output_parity(tmp_path):
     )
     out, _ = enc.apply(poured, jx, pos_embs=pe)
     np.testing.assert_allclose(np.asarray(out), tout, rtol=1e-4, atol=1e-4)
+
+
+def test_transformer_encoder_torch_checkpoint_pours_to_output_parity(
+    tmp_path,
+):
+    """Vanilla TransformerEncoder pour (torch.nn.MultiheadAttention
+    inside, ref Transformer.py:306) — the TransformerLM / decoder path."""
+    _import_reference_ecapa()  # installs the hyperpyyaml/torchaudio stubs
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from speechbrain.lobes.models.transformer.Transformer import (
+        TransformerEncoder as TorchTransformerEncoder,
+    )
+
+    D, H, FFN, L = 16, 4, 32, 2
+    tenc = TorchTransformerEncoder(
+        num_layers=L, d_model=D, d_ffn=FFN, nhead=H, dropout=0.0
+    ).eval()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 10, D)).astype(np.float32)
+    with torch.no_grad():
+        tout = tenc(torch.from_numpy(x))[0].numpy()
+    ckpt = tmp_path / "tenc.ckpt"
+    torch.save(tenc.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.transformer.Transformer import (
+        TransformerEncoder,
+    )
+    from speechbrain_tpu.utils.torch_convert import (
+        load_torch_state_dict,
+        pour_torch_keys,
+        split_torch_mha_inproj,
+        transformer_encoder_key_map,
+    )
+
+    enc = TransformerEncoder(
+        num_layers=L, d_model=D, d_ffn=FFN, nhead=H, dropout=0.0
+    )
+    jx = jnp.asarray(x)
+    variables = enc.init(jax.random.PRNGKey(0), jx)
+    state = split_torch_mha_inproj(load_torch_state_dict(str(ckpt)))
+    poured = pour_torch_keys(
+        state, variables, transformer_encoder_key_map, strict=True
+    )
+    out, _ = enc.apply(poured, jx)
+    np.testing.assert_allclose(np.asarray(out), tout, rtol=1e-4, atol=1e-4)
