@@ -156,7 +156,11 @@ class DualComputationBlock(nn.Module):
             intra = Linear(self.out_channels, name="intra_proj")(intra)
         intra = intra.reshape(B, S, K, N).transpose(0, 2, 1, 3)
         if self.norm == "ln":
-            intra = LayerNorm(name="intra_norm")(intra)
+            # the reference's "ln" here is nn.GroupNorm(1, N, eps=1e-8)
+            # — a GLOBAL per-sample norm over (K, S, N), not a
+            # per-position LayerNorm (ref dual_path.py:171,849)
+            intra = GroupNorm(num_groups=1, eps=1e-8,
+                              name="intra_norm")(intra)
         if self.skip_around_intra:
             intra = intra + x
         # inter-chunk: sequences of length S, batch B*K
@@ -166,7 +170,8 @@ class DualComputationBlock(nn.Module):
             inter = Linear(self.out_channels, name="inter_proj")(inter)
         inter = inter.reshape(B, K, S, N)
         if self.norm == "ln":
-            inter = LayerNorm(name="inter_norm")(inter)
+            inter = GroupNorm(num_groups=1, eps=1e-8,
+                              name="inter_norm")(inter)
         return inter + intra
 
 
@@ -214,20 +219,19 @@ class DualPathModel(nn.Module):
         P = K // 2
         T2 = (S - 1) * P + K
         out = jnp.zeros((B, T2, N), x.dtype)
-        ones = jnp.zeros((B, T2, N), x.dtype)
         starts = np.arange(S) * P
         idx = (starts[:, None] + np.arange(K)[None, :]).reshape(-1)
         vals = x.transpose(0, 2, 1, 3).reshape(B, S * K, N)
+        # the reference SUMS the two 50%-overlap streams (ref
+        # dual_path.py _over_add: input1 + input2) — no averaging
         out = out.at[:, idx, :].add(vals)
-        ones = ones.at[:, idx, :].add(jnp.ones_like(vals))
-        out = out / jnp.maximum(ones, 1.0)
         out = out[:, P : -(P + gap)] if (P + gap) > 0 else out[:, P:]
         return out
 
     @nn.compact
     def __call__(self, x, train=False):
         # x: (B, T, N)
-        x = GroupNorm(num_groups=1, name="norm")(x)  # global layer norm
+        x = GroupNorm(num_groups=1, eps=1e-8, name="norm")(x)  # global layer norm (ref eps 1e-8)
         x = Conv1d(self.out_channels, 1, bias=False, name="conv1x1")(x)
         if self.use_global_pos_enc:
             x = x * (self.out_channels**0.5) + PositionalEncoding(
@@ -235,9 +239,12 @@ class DualPathModel(nn.Module):
             )(x)
         segs, gap = self._segment(x, self.K)  # (B, K, S, N)
         for i in range(self.num_layers):
+            # the reference deep-copies the intra/inter transformers per
+            # dual-path stage (ref dual_path.py:957 copy.deepcopy) —
+            # clone so each stage gets its OWN weights, not shared ones
             segs = DualComputationBlock(
-                intra_mdl=self.intra_model,
-                inter_mdl=self.inter_model,
+                intra_mdl=self.intra_model.clone(),
+                inter_mdl=self.inter_model.clone(),
                 out_channels=self.out_channels,
                 norm=self.norm,
                 skip_around_intra=self.skip_around_intra,

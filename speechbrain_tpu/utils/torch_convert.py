@@ -505,3 +505,62 @@ def split_torch_mha_inproj(state):
             for i, which in enumerate("qkv"):
                 out[f"{m.group(1)}.{which}_bias"] = b[i * d : (i + 1) * d]
     return out
+
+
+def sepformer_masknet_key_map(key):
+    """Reference Dual_Path_Model state_dict -> our DualPathModel
+    (lobes/models/dual_path.py). Inner SBTransformerBlocks delegate to
+    :func:`transformer_encoder_key_map`; run the state through
+    :func:`split_torch_mha_inproj` and :func:`reshape_sepformer_convs`
+    first."""
+    if key.endswith("pos_enc.pe"):
+        return None  # fixed sinusoid buffer; we compute it
+    m = re.match(r"^dual_mdl\.(\d+)\.(intra|inter)_mdl\.mdl\.(.*)$", key)
+    if m:
+        i, which, inner = m.groups()
+        dst = transformer_encoder_key_map(inner)
+        if dst is None:
+            return None
+        prefix = f"params/dual_{i}/{which}_mdl/enc/"
+        if isinstance(dst, tuple):
+            return (prefix + dst[0][len("params/"):], dst[1])
+        return prefix + dst[len("params/"):]
+    m = re.match(r"^dual_mdl\.(\d+)\.(intra|inter)_norm\.(weight|bias)$",
+                 key)
+    if m:
+        i, which, leaf = m.groups()
+        leaf = "scale" if leaf == "weight" else "bias"
+        return f"params/dual_{i}/{which}_norm/GroupNorm_0/{leaf}"
+    m = re.match(r"^dual_mdl\.(\d+)\.(intra|inter)_linear\.w\.(weight|bias)$",
+                 key)
+    if m:
+        i, which, leaf = m.groups()
+        if leaf == "weight":
+            return (f"params/dual_{i}/{which}_proj/kernel", (1, 0))
+        return f"params/dual_{i}/{which}_proj/bias"
+    table = {
+        "norm.weight": "params/norm/GroupNorm_0/scale",
+        "norm.bias": "params/norm/GroupNorm_0/bias",
+        "conv1d.weight": "params/conv1x1/kernel",
+        "conv2d.weight": "params/conv_expand/kernel",
+        "conv2d.bias": "params/conv_expand/bias",
+        "end_conv1x1.weight": "params/end_conv1x1/kernel",
+        "prelu.weight": "params/prelu1",
+        "output.0.weight": "params/output_gate_a/kernel",
+        "output.0.bias": "params/output_gate_a/bias",
+        "output_gate.0.weight": "params/output_gate_b/kernel",
+        "output_gate.0.bias": "params/output_gate_b/bias",
+    }
+    return table.get(key)
+
+
+def reshape_sepformer_convs(state):
+    """The reference's channel-expand conv is a (spks*N, N, 1, 1) 2-D
+    conv; squeeze it to (out, in, K) so the generic 3-D layout pass
+    lands on our 1x1 Conv1d kernel."""
+    out = dict(state)
+    if "conv2d.weight" in out:
+        w = np.asarray(out["conv2d.weight"])
+        if w.ndim == 4:
+            out["conv2d.weight"] = w[:, :, :, 0]
+    return out

@@ -327,3 +327,69 @@ def test_transformer_encoder_torch_checkpoint_pours_to_output_parity(
     )
     out, _ = enc.apply(poured, jx)
     np.testing.assert_allclose(np.asarray(out), tout, rtol=1e-4, atol=1e-4)
+
+
+def test_sepformer_masknet_torch_checkpoint_pours_to_output_parity(
+    tmp_path,
+):
+    """Dual_Path_Model (SepFormer masknet, ref dual_path.py:934) pour —
+    the sepformer-wsj02mix checkpoint path. Per-stage transformers have
+    independent weights (the reference deep-copies per stage)."""
+    _import_reference_ecapa()  # installs the import stubs
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from speechbrain.lobes.models.dual_path import (
+        Dual_Path_Model as TorchDualPath,
+        SBTransformerBlock as TorchSBBlock,
+    )
+
+    D, H, FFN, K = 16, 4, 32, 10
+    tintra = TorchSBBlock(num_layers=1, d_model=D, nhead=H, d_ffn=FFN,
+                          use_positional_encoding=True, norm_before=True)
+    tinter = TorchSBBlock(num_layers=1, d_model=D, nhead=H, d_ffn=FFN,
+                          use_positional_encoding=True, norm_before=True)
+    tnet = TorchDualPath(
+        in_channels=D, out_channels=D, intra_model=tintra,
+        inter_model=tinter, num_layers=2, num_spks=2, K=K,
+        linear_layer_after_inter_intra=True,
+    ).eval()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, D, 40)).astype(np.float32)  # torch (B,N,T)
+    with torch.no_grad():
+        tout = tnet(torch.from_numpy(x)).numpy()  # (spks, B, N, T)
+    ckpt = tmp_path / "sepformer.ckpt"
+    torch.save(tnet.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.dual_path import (
+        DualPathModel,
+        SBTransformerBlock,
+    )
+    from speechbrain_tpu.utils.torch_convert import (
+        load_torch_state_dict,
+        pour_torch_keys,
+        reshape_sepformer_convs,
+        sepformer_masknet_key_map,
+        split_torch_mha_inproj,
+    )
+
+    intra = SBTransformerBlock(num_layers=1, d_model=D, nhead=H, d_ffn=FFN)
+    inter = SBTransformerBlock(num_layers=1, d_model=D, nhead=H, d_ffn=FFN)
+    net = DualPathModel(
+        in_channels=D, out_channels=D, intra_model=intra,
+        inter_model=inter, num_layers=2, num_spks=2, K=K,
+        linear_layer_after_inter_intra=True,
+    )
+    jx = jnp.asarray(x.transpose(0, 2, 1))  # ours is (B, T, N)
+    variables = net.init(jax.random.PRNGKey(0), jx)
+    state = reshape_sepformer_convs(
+        split_torch_mha_inproj(load_torch_state_dict(str(ckpt)))
+    )
+    poured = pour_torch_keys(
+        state, variables, sepformer_masknet_key_map, strict=True
+    )
+    out = net.apply(poured, jx)  # (spks, B, T, N)
+    ours = np.asarray(out).transpose(0, 1, 3, 2)  # -> (spks, B, N, T)
+    np.testing.assert_allclose(ours, tout, rtol=1e-4, atol=1e-4)
