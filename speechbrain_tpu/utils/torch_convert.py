@@ -564,3 +564,73 @@ def reshape_sepformer_convs(state):
         if w.ndim == 4:
             out["conv2d.weight"] = w[:, :, :, 0]
     return out
+
+
+def xvector_key_map(key):
+    """Reference Xvector (lobes/models/Xvector.py:19) -> our Xvector.
+    The reference builds a flat nn.ModuleList where block 3i is the TDNN
+    conv, 3i+1 the activation, 3i+2 the BatchNorm, and the final block
+    is the embedding Linear."""
+    if key.endswith("num_batches_tracked"):
+        return None
+    m = re.match(r"^blocks\.(\d+)\.conv\.(weight|bias)$", key)
+    if m:
+        i, leaf = int(m.group(1)), m.group(2)
+        leaf = "kernel" if leaf == "weight" else "bias"
+        return f"params/tdnn_{i // 3}/{leaf}"
+    m = re.match(r"^blocks\.(\d+)\.norm\.(.+)$", key)
+    if m:
+        i, leaf = int(m.group(1)), m.group(2)
+        block = f"bn_{(i - 2) // 3}/BatchNorm_0"
+        if leaf == "weight":
+            return f"params/{block}/scale"
+        if leaf == "bias":
+            return f"params/{block}/bias"
+        if leaf == "running_mean":
+            return f"batch_stats/{block}/mean"
+        if leaf == "running_var":
+            return f"batch_stats/{block}/var"
+    m = re.match(r"^blocks\.(\d+)\.w\.(weight|bias)$", key)
+    if m:
+        if m.group(2) == "weight":
+            return ("params/embedding/kernel", (1, 0))
+        return "params/embedding/bias"
+    return None
+
+
+def rnnlm_key_map(key):
+    """Reference RNNLM (lobes/models/RNNLM.py) -> our RNNLM. Run the
+    state through :func:`merge_lstm_biases` first (our scan cell adds a
+    single merged bias; torch keeps bias_ih + bias_hh)."""
+    if key == "embedding.Embedding.weight":
+        return "params/emb/embedding"  # (vocab, emb): NO transpose
+    m = re.match(r"^rnn\.rnn\.weight_ih_l(\d+)(_reverse)?$", key)
+    if m:
+        d = 1 if m.group(2) else 0
+        return (f"params/rnn/wx_l{m.group(1)}_d{d}/kernel", (1, 0))
+    m = re.match(r"^rnn\.rnn\.weight_hh_l(\d+)(_reverse)?$", key)
+    if m:
+        d = 1 if m.group(2) else 0
+        return (f"params/rnn/wh_l{m.group(1)}_d{d}", (1, 0))
+    m = re.match(r"^rnn\.rnn\.bias_l(\d+)(_reverse)?$", key)
+    if m:
+        d = 1 if m.group(2) else 0
+        return f"params/rnn/wx_l{m.group(1)}_d{d}/bias"
+    m = re.match(r"^dnn\.(?:block_)?(\d*)\.?linear\.w\.(weight|bias)$", key)
+    if m:
+        i = m.group(1) or "0"
+        if m.group(2) == "weight":
+            return (f"params/dnn_{i}/kernel", (1, 0))
+        return f"params/dnn_{i}/bias"
+    m = re.match(r"^dnn\.(?:block_)?(\d*)\.?norm\.norm\.(weight|bias)$",
+                 key)
+    if m:
+        i = m.group(1) or "0"
+        leaf = "scale" if m.group(2) == "weight" else "bias"
+        return f"params/norm_{i}/LayerNorm_0/{leaf}"
+    m = re.match(r"^out\.w\.(weight|bias)$", key)
+    if m:
+        if m.group(1) == "weight":
+            return ("params/out/kernel", (1, 0))
+        return "params/out/bias"
+    return None

@@ -393,3 +393,90 @@ def test_sepformer_masknet_torch_checkpoint_pours_to_output_parity(
     out = net.apply(poured, jx)  # (spks, B, T, N)
     ours = np.asarray(out).transpose(0, 1, 3, 2)  # -> (spks, B, N, T)
     np.testing.assert_allclose(ours, tout, rtol=1e-4, atol=1e-4)
+
+
+def test_xvector_torch_checkpoint_pours_to_output_parity(tmp_path):
+    """Xvector pour (ref Xvector.py:19) — the spkrec-xvect checkpoint
+    path, with randomized BN running stats."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.Xvector import Xvector as TorchXvector
+
+    tm = TorchXvector(
+        in_channels=24, tdnn_channels=[32, 32, 32, 32, 96], lin_neurons=16
+    ).eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if hasattr(mod, "running_mean") and mod.running_mean is not None:
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+    x = np.random.default_rng(4).standard_normal((3, 60, 24)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(x)).numpy()
+    ckpt = tmp_path / "xvector.ckpt"
+    torch.save(tm.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.Xvector import Xvector
+    from speechbrain_tpu.utils.torch_convert import (
+        load_torch_state_dict,
+        pour_torch_keys,
+        xvector_key_map,
+    )
+
+    jm = Xvector(tdnn_channels=(32, 32, 32, 32, 96), lin_neurons=16)
+    variables = jm.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), train=False
+    )
+    poured = pour_torch_keys(
+        load_torch_state_dict(str(ckpt)), variables, xvector_key_map,
+        strict=True,
+    )
+    out = np.asarray(jm.apply(poured, jnp.asarray(x), train=False))
+    assert out.shape == tout.shape
+    np.testing.assert_allclose(out, tout, atol=1e-4, rtol=1e-4)
+
+
+def test_rnnlm_torch_checkpoint_pours_to_output_parity(tmp_path):
+    """RNNLM pour (ref RNNLM.py) — the asr-crdnn-rnnlm-librispeech LM /
+    rescorer checkpoint path."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.RNNLM import RNNLM as TorchRNNLM
+
+    tm = TorchRNNLM(
+        output_neurons=20, embedding_dim=8, rnn_neurons=16, rnn_layers=2,
+        dnn_neurons=16, dnn_blocks=1,
+    ).eval()
+    ids = np.random.default_rng(5).integers(
+        0, 20, size=(3, 7)
+    ).astype(np.int64)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(ids)).numpy()
+    ckpt = tmp_path / "lm.ckpt"
+    torch.save(tm.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.RNNLM import RNNLM
+    from speechbrain_tpu.utils.torch_convert import (
+        load_torch_state_dict,
+        merge_lstm_biases,
+        pour_torch_keys,
+        rnnlm_key_map,
+    )
+
+    jm = RNNLM(output_neurons=20, embedding_dim=8, rnn_neurons=16,
+               rnn_layers=2, dnn_neurons=16)
+    jx = jnp.asarray(ids.astype(np.int32))
+    variables = jm.init(jax.random.PRNGKey(0), jx)
+    state = merge_lstm_biases(load_torch_state_dict(str(ckpt)))
+    poured = pour_torch_keys(state, variables, rnnlm_key_map, strict=True)
+    out = jm.apply(poured, jx)
+    out = out[0] if isinstance(out, tuple) else out
+    np.testing.assert_allclose(
+        np.asarray(out), tout, atol=1e-4, rtol=1e-4
+    )
