@@ -147,7 +147,9 @@ class HifiganGenerator(nn.Module):
                              name=f"res_{i}_{j}")(y)
                 acc = z if acc is None else acc + z
             y = acc / len(self.resblock_kernel_sizes)
-        y = jax.nn.leaky_relu(y, 0.1)
+        # the reference's final pre-conv_post activation uses torch's
+        # DEFAULT leaky slope 0.01, not LRELU_SLOPE (ref HifiGAN.py:146)
+        y = jax.nn.leaky_relu(y, 0.01)
         y = Conv1d(self.out_channels, 7, bias=self.conv_post_bias,
                    name="conv_post")(y)
         y = jnp.tanh(y)

@@ -634,3 +634,53 @@ def rnnlm_key_map(key):
             return ("params/out/kernel", (1, 0))
         return "params/out/bias"
     return None
+
+
+def fuse_weight_norm(state):
+    """Fuse torch weight-norm parametrization (weight_g, weight_v) into
+    plain weights: W = g * v / ||v|| with the norm over all dims except
+    the first (torch's weight_norm dim=0 default) — the HiFiGAN family
+    stores every conv this way."""
+    out = dict(state)
+    for key in list(out):
+        if not key.endswith(".weight_v"):
+            continue
+        stem = key[: -len(".weight_v")]
+        v = np.asarray(out.pop(key))
+        g = np.asarray(out.pop(stem + ".weight_g"))
+        axes = tuple(range(1, v.ndim))
+        norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+        out[stem + ".weight"] = g * v / np.maximum(norm, 1e-12)
+    return out
+
+
+def hifigan_generator_key_map(n_kernels):
+    """Key-map factory for the reference HifiganGenerator
+    (lobes/models/HifiGAN.py:371): torch flattens resblocks as
+    ``resblocks[i_up * n_kernels + i_kernel]``; ours names them
+    res_{i_up}_{i_kernel}. Run the state through
+    :func:`fuse_weight_norm` first."""
+
+    def key_map(key):
+        k = key.replace(".conv.weight", ".weight").replace(
+            ".conv.bias", ".bias"
+        )
+        m = re.match(r"^resblocks\.(\d+)\.convs(\d)\.(\d+)\.(weight|bias)$",
+                     k)
+        if m:
+            flat, branch, j, leaf = (int(m.group(1)), m.group(2),
+                                     m.group(3), m.group(4))
+            u, kk = divmod(flat, n_kernels)
+            leaf = "kernel" if leaf == "weight" else "bias"
+            return f"params/res_{u}_{kk}/conv{branch}_{j}/{leaf}"
+        m = re.match(r"^ups\.(\d+)\.(weight|bias)$", k)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            return f"params/up_{m.group(1)}/{leaf}"
+        m = re.match(r"^(conv_pre|conv_post)\.(weight|bias)$", k)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            return f"params/{m.group(1)}/{leaf}"
+        return None
+
+    return key_map

@@ -480,3 +480,60 @@ def test_rnnlm_torch_checkpoint_pours_to_output_parity(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out), tout, atol=1e-4, rtol=1e-4
     )
+
+
+def test_hifigan_generator_torch_checkpoint_pours_to_output_parity(
+    tmp_path,
+):
+    """HifiganGenerator pour (ref HifiGAN.py:371) with weight-norm
+    fusion — the tts-hifigan vocoder checkpoint path."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.HifiGAN import (
+        HifiganGenerator as TorchGen,
+    )
+
+    tg = TorchGen(
+        in_channels=8, out_channels=1, resblock_type="1",
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+        resblock_kernel_sizes=[3, 7],
+        upsample_kernel_sizes=[4, 4], upsample_initial_channel=16,
+        upsample_factors=[2, 2],
+    ).eval()
+    tg.remove_weight_norm()  # fold the parametrization like inference
+    mel = np.random.default_rng(6).standard_normal((2, 8, 20)).astype(
+        np.float32
+    )  # torch layout (B, C, T)
+    with torch.no_grad():
+        tout = tg(torch.from_numpy(mel)).numpy()
+    ckpt = tmp_path / "gen.ckpt"
+    torch.save(tg.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.HifiGAN import HifiganGenerator
+    from speechbrain_tpu.utils.torch_convert import (
+        fuse_weight_norm,
+        hifigan_generator_key_map,
+        load_torch_state_dict,
+        pour_torch_keys,
+    )
+
+    g = HifiganGenerator(
+        in_channels=8, out_channels=1, resblock_type="1",
+        resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+        resblock_kernel_sizes=(3, 7),
+        upsample_kernel_sizes=(4, 4), upsample_initial_channel=16,
+        upsample_factors=(2, 2),
+    )
+    jx = jnp.asarray(mel.transpose(0, 2, 1))  # ours (B, T, C)
+    variables = g.init(jax.random.PRNGKey(0), jx)
+    state = fuse_weight_norm(load_torch_state_dict(str(ckpt)))
+    poured = pour_torch_keys(
+        state, variables, hifigan_generator_key_map(n_kernels=2),
+        strict=True,
+    )
+    out = np.asarray(g.apply(poured, jx))  # (B, T*4)
+    np.testing.assert_allclose(
+        out, tout[:, 0, :], atol=1e-4, rtol=1e-4
+    )
