@@ -53,7 +53,7 @@ def prepare_synthetic(data_folder, sample_rate=16000, seed=0):
                                "turns": turns}}, f, indent=1)
 
 
-def embed_windows(brain_modules, params, hparams, sig, sample_rate):
+def embed_windows(variables, hparams, sig, sample_rate):
     """Slide a window; return (embeddings, subsegments)."""
     win = int(hparams["window_s"] * sample_rate)
     hop = int(hparams["hop_s"] * sample_rate)
@@ -63,9 +63,7 @@ def embed_windows(brain_modules, params, hparams, sig, sample_rate):
     for start in range(0, max(len(sig) - win + 1, 1), hop):
         chunk = sig[None, start : start + win]
         feats = fbank(chunk)
-        emb = model.apply(
-            {"params": params}, feats, train=False,
-        )
+        emb = model.apply(variables, feats, train=False)
         embs.append(np.asarray(emb).reshape(-1))
         segs.append([start / sample_rate, (start + win) / sample_rate])
     return np.stack(embs), segs
@@ -92,12 +90,11 @@ def main():
         (1, int(hparams["window_s"] * hparams["sample_rate"]))
     )
     feats = hparams["compute_features"](example)
-    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
-    params = variables["params"]
+    variables = dict(model.init(jax.random.PRNGKey(0), feats, train=False))
     if hparams.get("pretrainer") is not None:
         hparams["pretrainer"].collect_files()
         loaded = hparams["pretrainer"].load_collected()
-        params = loaded.get("embedding_model", params)
+        variables = loaded.get("embedding_model", variables)
 
     save = Path(hparams["save_folder"])
     save.mkdir(parents=True, exist_ok=True)
@@ -105,7 +102,7 @@ def main():
     for rec_id, rec in meetings.items():
         sig = np.asarray(read_audio(rec["wav"]))
         embs, segs = embed_windows(
-            None, params, hparams, sig, hparams["sample_rate"]
+            variables, hparams, sig, hparams["sample_rate"]
         )
         labels = do_spec_clustering(
             embs,

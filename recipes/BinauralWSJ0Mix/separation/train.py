@@ -17,7 +17,7 @@ import numpy as np
 import optax
 
 import speechbrain_tpu as sb
-from speechbrain_tpu.dataio.dataio import read_audio
+from speechbrain_tpu.dataio.dataio import read_audio_multichannel
 from speechbrain_tpu.dataio.dataset import DynamicItemDataset
 from speechbrain_tpu.nnet.losses import get_si_snr_with_pitwrapper
 from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
@@ -116,8 +116,10 @@ def dataio_prepare(hparams):
             hparams[key], replacements={"data_root": hparams["data_folder"]}
         )
         for k in ("mix", "s1", "s2"):
+            # stereo (T, 2) — read_audio would downmix to mono
             ds.add_dynamic_item(
-                read_audio, takes=f"{k}_wav", provides=f"{k}_sig"
+                read_audio_multichannel, takes=f"{k}_wav",
+                provides=f"{k}_sig",
             )
         ds.set_output_keys(["id", "mix_sig", "s1_sig", "s2_sig"])
         datasets[split] = ds

@@ -42,8 +42,7 @@ class HifiGanBrain(sb.Brain):
 
     def generate(self, params, mel, train, rng):
         wav, _ = self.module_apply(
-            "generator", params, {}, mel, train=train,
-            rngs={"dropout": rng} if train else None, mutable_state=[],
+            "generator", params, {}, mel, mutable_state=[]
         )
         return wav
 
@@ -138,8 +137,8 @@ def main():
     seg, _ = eb["sig"]
     mel = brain.mel_fn(seg)
     k = jax.random.PRNGKey(hparams["seed"])
-    p_g, _ = brain.init_module(k, "generator", mel, train=False)
-    p_d, _ = brain.init_module(k, "discriminator", seg, train=False)
+    p_g, _ = brain.init_module(k, "generator", mel)
+    p_d, _ = brain.init_module(k, "discriminator", seg)
     brain.params = {"generator": p_g, "discriminator": p_d}
     brain.model_state = {}
     brain.init_optimizers()

@@ -23,8 +23,10 @@ def prepare_synthetic(data_folder, n_utts=12, sample_rate=16000, seed=3):
     rng = np.random.default_rng(seed)
     manifests = {"train": {}, "valid": {}, "test": {}}
     for i in range(n_utts):
-        c = int(rng.integers(0, len(CONCEPTS)))
-        v = int(rng.integers(0, len(VALUES)))
+        # cyclic coverage: every concept/value (hence every character)
+        # appears in the train split, so valid has no OOV characters
+        c = i % len(CONCEPTS)
+        v = i % len(VALUES)
         t = np.arange(int(0.25 * sample_rate)) / sample_rate
         sig = (
             0.4 * np.sin(2 * np.pi * (240 + 100 * c) * t)
