@@ -62,9 +62,22 @@ class HFTransformersInterface:
                     source, cache_dir=save_path or None
                 )
             except Exception:  # feature extractor fallback
-                self.processor = transformers.AutoFeatureExtractor.from_pretrained(
-                    source, cache_dir=save_path or None
-                )
+                try:
+                    self.processor = (
+                        transformers.AutoFeatureExtractor.from_pretrained(
+                            source, cache_dir=save_path or None
+                        )
+                    )
+                except Exception:
+                    # checkpoint dir without processor files (offline /
+                    # weights-only): wrappers fall back to native
+                    # feature extraction (e.g. Whisper._log_mel)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "no processor/feature-extractor files at %r; "
+                        "using the wrapper's native frontend", source,
+                    )
 
     def trainable_mask(self):
         """Pytree of bools for optax.masked: False everywhere when frozen."""

@@ -52,7 +52,10 @@ class Whisper(HFTransformersInterface):
     def _log_mel(self, wav):
         """Whisper-style 80-bin log-mel (fallback when no processor)."""
         if self.processor is not None:
-            feats = self.processor.feature_extractor(
+            # AutoProcessor wraps the extractor; AutoFeatureExtractor IS it
+            fe = getattr(self.processor, "feature_extractor",
+                         self.processor)
+            feats = fe(
                 np.asarray(wav), sampling_rate=self.sampling_rate,
                 return_tensors="np",
             )["input_features"]
