@@ -33,9 +33,12 @@ class Prenet(nn.Module):
     def __call__(self, x):
         for i, size in enumerate(self.sizes):
             x = jax.nn.relu(Linear(size, bias=False, name=f"linear_{i}")(x))
-            key = self.make_rng("dropout")
-            keep = jax.random.bernoulli(key, 1.0 - self.dropout, x.shape)
-            x = x * keep / (1.0 - self.dropout)
+            if self.dropout > 0:
+                key = self.make_rng("dropout")
+                keep = jax.random.bernoulli(
+                    key, 1.0 - self.dropout, x.shape
+                )
+                x = x * keep / (1.0 - self.dropout)
         return x
 
 
@@ -49,9 +52,11 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, input_lengths=None, train=False):
         for i in range(self.encoder_n_convolutions):
+            # plain torch conv in the reference's ConvNorm: ZERO
+            # 'same' padding, not the sb reflect default
             x = Conv1d(
                 self.encoder_embedding_dim, self.encoder_kernel_size,
-                name=f"conv_{i}",
+                padding_mode="constant", name=f"conv_{i}",
             )(x)
             x = BatchNorm1d(name=f"bn_{i}")(x, train=train)
             x = jax.nn.relu(x)
@@ -77,13 +82,13 @@ class Postnet(nn.Module):
     def __call__(self, x, train=False):
         for i in range(self.postnet_n_convolutions - 1):
             x = Conv1d(self.postnet_embedding_dim, self.postnet_kernel_size,
-                       name=f"conv_{i}")(x)
+                       padding_mode="constant", name=f"conv_{i}")(x)
             x = BatchNorm1d(name=f"bn_{i}")(x, train=train)
             x = jnp.tanh(x)
             if train:
                 x = nn.Dropout(0.5, deterministic=False)(x)
         x = Conv1d(self.n_mel_channels, self.postnet_kernel_size,
-                   name="conv_out")(x)
+                   padding_mode="constant", name="conv_out")(x)
         x = BatchNorm1d(name="bn_out")(x, train=train)
         return x
 
@@ -129,6 +134,9 @@ class Tacotron2(nn.Module):
     max_decoder_steps: int = 1000
     p_attention_dropout: float = 0.1
     p_decoder_dropout: float = 0.1
+    # the reference keeps prenet dropout ON even at inference (an
+    # intentional Tacotron2 quirk); set 0.0 for deterministic runs
+    prenet_dropout: float = 0.5
 
     def setup(self):
         from speechbrain_tpu.nnet.embedding import Embedding
@@ -142,7 +150,8 @@ class Tacotron2(nn.Module):
             encoder_n_convolutions=self.encoder_n_convolutions,
             encoder_kernel_size=self.encoder_kernel_size,
         )
-        self.prenet = Prenet(sizes=self.prenet_sizes)
+        self.prenet = Prenet(sizes=self.prenet_sizes,
+                             dropout=self.prenet_dropout)
         self.postnet = Postnet(
             n_mel_channels=self.n_mel_channels,
             postnet_embedding_dim=self.postnet_embedding_dim,
@@ -163,6 +172,7 @@ class Tacotron2(nn.Module):
             self.attention_location_n_filters,
             self.attention_location_kernel_size,
             bias=False,
+            padding_mode="constant",
             name="attn_loc_conv",
         )
         self.attn_location_dense = Linear(

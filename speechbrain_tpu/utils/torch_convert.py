@@ -684,3 +684,107 @@ def hifigan_generator_key_map(n_kernels):
         return None
 
     return key_map
+
+
+def merge_lstmcell_biases(state):
+    """torch LSTMCell keeps plain ``bias_ih``/``bias_hh``; sum them into
+    one ``bias`` key (our cells add a single bias)."""
+    out = dict(state)
+    for key in list(out):
+        m = re.match(r"^(.*)\.bias_ih$", key)
+        if not m:
+            continue
+        prefix = m.group(1)
+        out[f"{prefix}.bias"] = out.pop(key) + out.pop(
+            f"{prefix}.bias_hh"
+        )
+    return out
+
+
+def tacotron2_key_map(key):
+    """Reference Tacotron2 (lobes/models/Tacotron2.py:54) -> our
+    Tacotron2. Run the state through :func:`merge_lstm_biases` (encoder
+    biLSTM) and :func:`merge_lstmcell_biases` (attention/decoder cells)
+    first. The tts-tacotron2-ljspeech checkpoint path."""
+    if key.endswith("num_batches_tracked"):
+        return None
+    if key == "embedding.weight":
+        return "params/embedding/embedding"
+    m = re.match(r"^encoder\.convolutions\.(\d+)\.0\.conv\.(weight|bias)$",
+                 key)
+    if m:
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return f"params/encoder/conv_{m.group(1)}/{leaf}"
+    m = re.match(r"^encoder\.convolutions\.(\d+)\.1\.(.+)$", key)
+    if m:
+        block = f"encoder/bn_{m.group(1)}/BatchNorm_0"
+        leaf = m.group(2)
+        return {
+            "weight": f"params/{block}/scale",
+            "bias": f"params/{block}/bias",
+            "running_mean": f"batch_stats/{block}/mean",
+            "running_var": f"batch_stats/{block}/var",
+        }.get(leaf)
+    m = re.match(r"^encoder\.lstm\.weight_(ih|hh)_l0(_reverse)?$", key)
+    if m:
+        d = 1 if m.group(2) else 0
+        if m.group(1) == "ih":
+            return (f"params/encoder/lstm/wx_l0_d{d}/kernel", (1, 0))
+        return (f"params/encoder/lstm/wh_l0_d{d}", (1, 0))
+    m = re.match(r"^encoder\.lstm\.bias_l0(_reverse)?$", key)
+    if m:
+        d = 1 if m.group(1) else 0
+        return f"params/encoder/lstm/wx_l0_d{d}/bias"
+    m = re.match(r"^decoder\.prenet\.layers\.(\d+)\.linear_layer\.weight$",
+                 key)
+    if m:
+        return (f"params/prenet/linear_{m.group(1)}/kernel", (1, 0))
+    m = re.match(r"^decoder\.(attention|decoder)_rnn\.(weight_ih|weight_hh|bias)$",
+                 key)
+    if m:
+        which = "attn" if m.group(1) == "attention" else "dec"
+        if m.group(2) == "weight_ih":
+            return (f"params/{which}_wx/kernel", (1, 0))
+        if m.group(2) == "weight_hh":
+            return (f"params/{which}_wh", (1, 0))
+        return f"params/{which}_wx/bias"
+    table = {
+        "decoder.attention_layer.query_layer.linear_layer.weight":
+            ("params/attn_query/kernel", (1, 0)),
+        "decoder.attention_layer.memory_layer.linear_layer.weight":
+            ("params/attn_memory/kernel", (1, 0)),
+        "decoder.attention_layer.v.linear_layer.weight":
+            ("params/attn_v/kernel", (1, 0)),
+        "decoder.attention_layer.location_layer.location_conv.conv.weight":
+            "params/attn_loc_conv/kernel",
+        "decoder.attention_layer.location_layer.location_dense.linear_layer.weight":
+            ("params/attn_loc_dense/kernel", (1, 0)),
+        "decoder.linear_projection.linear_layer.weight":
+            ("params/mel_proj/kernel", (1, 0)),
+        "decoder.linear_projection.linear_layer.bias":
+            "params/mel_proj/bias",
+        "decoder.gate_layer.linear_layer.weight":
+            ("params/gate/kernel", (1, 0)),
+        "decoder.gate_layer.linear_layer.bias": "params/gate/bias",
+    }
+    if key in table:
+        return table[key]
+    m = re.match(r"^postnet\.convolutions\.(\d+)\.0\.conv\.(weight|bias)$",
+                 key)
+    if m:
+        i, leaf = int(m.group(1)), m.group(2)
+        leaf = "kernel" if leaf == "weight" else "bias"
+        name = f"conv_{i}" if i < 4 else "conv_out"
+        return f"params/postnet/{name}/{leaf}"
+    m = re.match(r"^postnet\.convolutions\.(\d+)\.1\.(.+)$", key)
+    if m:
+        i, leaf = int(m.group(1)), m.group(2)
+        name = f"bn_{i}" if i < 4 else "bn_out"
+        block = f"postnet/{name}/BatchNorm_0"
+        return {
+            "weight": f"params/{block}/scale",
+            "bias": f"params/{block}/bias",
+            "running_mean": f"batch_stats/{block}/mean",
+            "running_var": f"batch_stats/{block}/var",
+        }.get(leaf)
+    return None

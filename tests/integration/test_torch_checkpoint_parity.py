@@ -537,3 +537,87 @@ def test_hifigan_generator_torch_checkpoint_pours_to_output_parity(
     np.testing.assert_allclose(
         out, tout[:, 0, :], atol=1e-4, rtol=1e-4
     )
+
+
+def test_tacotron2_torch_checkpoint_pours_to_output_parity(tmp_path):
+    """Tacotron2 teacher-forced pour (ref Tacotron2.py:54) — the
+    tts-tacotron2-ljspeech checkpoint path. The reference prenet keeps
+    dropout on even in eval; it is zeroed on both sides so the
+    comparison is deterministic."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.Tacotron2 import Tacotron2 as TorchT2
+
+    D, MEL = 16, 8
+    tm = TorchT2(
+        n_symbols=20, symbols_embedding_dim=D, encoder_embedding_dim=D,
+        attention_rnn_dim=D, decoder_rnn_dim=D, attention_dim=8,
+        attention_location_n_filters=4, attention_location_kernel_size=5,
+        n_mel_channels=MEL, prenet_dim=8, postnet_embedding_dim=D,
+        p_attention_dropout=0.0, p_decoder_dropout=0.0,
+    ).eval()
+    tm.decoder.prenet.dropout = 0.0  # always-on dropout -> deterministic
+    with torch.no_grad():
+        for mod in tm.modules():
+            if hasattr(mod, "running_mean") and mod.running_mean is not None:
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(11)
+    text = rng.integers(1, 20, size=(2, 6)).astype(np.int64)
+    text_lens = np.array([6, 6], np.int64)
+    mels = rng.standard_normal((2, MEL, 12)).astype(np.float32)
+    out_lens = np.array([12, 12], np.int64)
+    with torch.no_grad():
+        t_mel, t_post, t_gate, t_align = tm(
+            (
+                torch.from_numpy(text), torch.from_numpy(text_lens),
+                torch.from_numpy(mels), 6, torch.from_numpy(out_lens),
+            )
+        )[:4]
+    ckpt = tmp_path / "tacotron2.ckpt"
+    torch.save(tm.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.Tacotron2 import Tacotron2
+    from speechbrain_tpu.utils.torch_convert import (
+        load_torch_state_dict,
+        merge_lstm_biases,
+        merge_lstmcell_biases,
+        pour_torch_keys,
+        tacotron2_key_map,
+    )
+
+    jm = Tacotron2(
+        n_symbols=20, symbols_embedding_dim=D, encoder_embedding_dim=D,
+        attention_rnn_dim=D, decoder_rnn_dim=D, attention_dim=8,
+        attention_location_n_filters=4, attention_location_kernel_size=5,
+        n_mel_channels=MEL, prenet_sizes=(8, 8), postnet_embedding_dim=D,
+        prenet_dropout=0.0,
+    )
+    jtext = jnp.asarray(text.astype(np.int32))
+    jmels = jnp.asarray(mels.transpose(0, 2, 1))  # ours (B, T, n_mel)
+    jlens = jnp.asarray(text_lens / text.shape[1])
+    variables = jm.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        jtext, jlens, jmels,
+    )
+    state = merge_lstmcell_biases(
+        merge_lstm_biases(load_torch_state_dict(str(ckpt)))
+    )
+    poured = pour_torch_keys(
+        state, variables, tacotron2_key_map, strict=True
+    )
+    j_mel, j_post, j_gate, j_align = jm.apply(
+        poured, jtext, jlens, jmels, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_mel).transpose(0, 2, 1), t_mel.numpy(),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_post).transpose(0, 2, 1), t_post.numpy(),
+        atol=1e-4, rtol=1e-4,
+    )
