@@ -38,9 +38,16 @@ class Pretrainer:
         Directory to collect files into.
     conditions : dict, optional
         name -> bool; skip loadables whose condition is False.
+    modules : dict, optional
+        name -> flax module instance. When a loadable's checkpoint is a
+        torch state_dict and its module class has an exact converter
+        (torch_convert.pour_reference_checkpoint registry, all verified
+        to 1e-4 output parity), the exact key map is used instead of
+        the name heuristic.
     """
 
-    def __init__(self, collect_in=None, loadables=None, paths=None, conditions=None):
+    def __init__(self, collect_in=None, loadables=None, paths=None,
+                 conditions=None, modules=None):
         self.loadables = {}
         self.collect_in = pathlib.Path(collect_in) if collect_in else None
         if loadables is not None:
@@ -51,6 +58,7 @@ class Pretrainer:
         self.conditions = {}
         if conditions is not None:
             self.add_conditions(conditions)
+        self.modules = dict(modules) if modules else {}
         self.loaded_paths = {}
 
     def set_collect_in(self, path):
@@ -117,9 +125,18 @@ class Pretrainer:
             if _looks_like_torch_ckpt(path) and isinstance(obj, PytreeRef):
                 from speechbrain_tpu.utils.torch_convert import (
                     load_torch_state_dict_into_pytree,
+                    pour_reference_checkpoint,
                 )
 
-                obj.tree = load_torch_state_dict_into_pytree(path, obj.tree)
+                if name in self.modules:
+                    # exact, parity-tested architecture converter
+                    obj.tree = pour_reference_checkpoint(
+                        self.modules[name], obj.tree, path
+                    )
+                else:
+                    obj.tree = load_torch_state_dict_into_pytree(
+                        path, obj.tree
+                    )
                 continue
             default_hook = get_default_hook(obj, DEFAULT_TRANSFER_HOOKS)
             if default_hook is not None:

@@ -788,3 +788,70 @@ def tacotron2_key_map(key):
             "running_var": f"batch_stats/{block}/var",
         }.get(leaf)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Exact-converter registry: flax module class name -> (preprocessors,
+# key-map factory). pour_reference_checkpoint() dispatches through this,
+# giving a one-call path from a reference torch .ckpt to our variables.
+# ---------------------------------------------------------------------------
+
+_POUR_REGISTRY = {
+    # class name: ([state preprocessors], key_map factory(module))
+    "ECAPA_TDNN": ([], lambda m: ecapa_key_map),
+    "Classifier": ([], lambda m: ecapa_classifier_key_map),
+    "Xvector": ([], lambda m: xvector_key_map),
+    "CRDNN": ([merge_lstm_biases], lambda m: crdnn_key_map),
+    "RNNLM": ([merge_lstm_biases], lambda m: rnnlm_key_map),
+    "TransformerEncoder": (
+        [split_torch_mha_inproj], lambda m: transformer_encoder_key_map
+    ),
+    # ConformerEncoder's qkv split needs nhead; handled inline below
+    "ConformerEncoder": ([], lambda m: conformer_encoder_key_map),
+    "DualPathModel": (
+        [split_torch_mha_inproj, reshape_sepformer_convs],
+        lambda m: sepformer_masknet_key_map,
+    ),
+    "HifiganGenerator": (
+        [fuse_weight_norm],
+        lambda m: hifigan_generator_key_map(
+            n_kernels=len(m.resblock_kernel_sizes)
+        ),
+    ),
+    "Tacotron2": (
+        [merge_lstm_biases, merge_lstmcell_biases],
+        lambda m: tacotron2_key_map,
+    ),
+}
+
+
+def pour_reference_checkpoint(module, variables, path, strict=True):
+    """Load a REFERENCE torch ``.ckpt`` state_dict into our flax
+    ``variables`` using the exact, parity-tested converter for the
+    module's architecture (every converter here is verified to 1e-4
+    output parity in tests/integration/test_torch_checkpoint_parity.py).
+
+    Arguments
+    ---------
+    module : flax module instance (selects the converter by class name).
+    variables : the module's init() variables (shapes/dtypes to fill).
+    path : torch checkpoint path (e.g. from an HF snapshot of
+        speechbrain/asr-crdnn-rnnlm-librispeech).
+    strict : raise on unmapped/missing keys.
+
+    Falls back to the name-heuristic loader for unregistered classes.
+    """
+    name = type(module).__name__
+    state = load_torch_state_dict(path)
+    if name not in _POUR_REGISTRY:
+        return load_torch_state_dict_into_pytree(
+            path, variables, strict=strict
+        )
+    preprocessors, map_factory = _POUR_REGISTRY[name]
+    for pre in preprocessors:
+        state = pre(state)
+    if name == "ConformerEncoder":
+        # the RelPosMHAXL fast path interleaves qkv per head
+        state = split_conformer_inproj(state, nhead=module.nhead)
+    return pour_torch_keys(state, variables, map_factory(module),
+                           strict=strict)

@@ -621,3 +621,49 @@ def test_tacotron2_torch_checkpoint_pours_to_output_parity(tmp_path):
         np.asarray(j_post).transpose(0, 2, 1), t_post.numpy(),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_pretrainer_uses_exact_converter_registry(tmp_path):
+    """Pretrainer(modules=...) routes torch checkpoints through the
+    parity-tested converter for the module's architecture — the
+    user-facing from_hparams pour path."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.ECAPA_TDNN import ECAPA_TDNN
+    from speechbrain_tpu.utils.checkpoints import PytreeRef
+    from speechbrain_tpu.utils.parameter_transfer import Pretrainer
+
+    TorchECAPA, _ = _import_reference_ecapa()
+    tm = TorchECAPA(input_size=40, **{
+        k: list(v) if isinstance(v, tuple) else v for k, v in CFG.items()
+    }).eval()
+    ckpt = tmp_path / "embedding_model.ckpt"
+    torch.save(tm.state_dict(), str(ckpt))
+
+    jm = ECAPA_TDNN(**CFG)
+    x = np.random.default_rng(3).standard_normal((2, 60, 40)).astype(
+        np.float32
+    )
+    variables = jax.tree_util.tree_map(
+        np.asarray,
+        dict(jm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)),
+    )
+    ref = PytreeRef(variables)
+    pre = Pretrainer(
+        collect_in=str(tmp_path),
+        loadables={"embedding_model": ref},
+        paths={"embedding_model": str(ckpt)},
+        modules={"embedding_model": jm},
+    )
+    pre.collect_files()
+    pre.load_collected()
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(x)).numpy()
+    out = np.asarray(
+        jm.apply(
+            jax.tree_util.tree_map(jnp.asarray, ref.tree),
+            jnp.asarray(x), train=False,
+        )
+    )
+    np.testing.assert_allclose(out, tout, atol=1e-4, rtol=1e-4)
