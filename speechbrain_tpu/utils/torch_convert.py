@@ -797,9 +797,13 @@ def tacotron2_key_map(key):
 # ---------------------------------------------------------------------------
 
 _POUR_REGISTRY = {
-    # class name: ([state preprocessors], key_map factory(module))
+    # qualified class name: ([state preprocessors], key_map factory);
+    # bare class names are looked up as a fallback, so only ambiguous
+    # classes (e.g. the two `Classifier`s) need the full module path
     "ECAPA_TDNN": ([], lambda m: ecapa_key_map),
-    "Classifier": ([], lambda m: ecapa_classifier_key_map),
+    "speechbrain_tpu.lobes.models.ECAPA_TDNN.Classifier": (
+        [], lambda m: ecapa_classifier_key_map
+    ),
     "Xvector": ([], lambda m: xvector_key_map),
     "CRDNN": ([merge_lstm_biases], lambda m: crdnn_key_map),
     "RNNLM": ([merge_lstm_biases], lambda m: rnnlm_key_map),
@@ -841,7 +845,10 @@ def pour_reference_checkpoint(module, variables, path, strict=True):
 
     Falls back to the name-heuristic loader for unregistered classes.
     """
-    name = type(module).__name__
+    qualname = f"{type(module).__module__}.{type(module).__name__}"
+    name = (
+        qualname if qualname in _POUR_REGISTRY else type(module).__name__
+    )
     state = load_torch_state_dict(path)
     if name not in _POUR_REGISTRY:
         return load_torch_state_dict_into_pytree(
