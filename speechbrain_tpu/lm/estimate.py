@@ -62,9 +62,11 @@ def estimate_backoff_ngram(sentences, order=3, bos="<s>", eos="</s>"):
             denom = total + distinct
             for token, c in followers.items():
                 probs[n][context + (token,)] = math.log10(c / denom)
-            if n < order:
-                # mass reserved for unseen continuations of this context
-                backoffs[context + ()] = math.log10(
+            if context:
+                # mass reserved for unseen continuations of this
+                # context — the ARPA backoff weight lives on the
+                # (n-1)-gram line of the context itself
+                backoffs[context] = math.log10(
                     max(distinct / denom, 1e-12)
                 )
     return probs, backoffs
