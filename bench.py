@@ -303,7 +303,7 @@ def bench_train(bf16=False, remat=False):
         nhead=ASR["nhead"], num_encoder_layers=ASR["layers"],
         num_decoder_layers=0, d_ffn=ASR["d_ffn"],
         encoder_module="conformer", attention_type="RelPosMHAXL",
-        kernel_size=ASR["kernel_size"],
+        kernel_size=ASR["kernel_size"], encoder_remat=remat,
     )
     head = Linear(n_neurons=ASR["vocab"])
     wavs = jnp.asarray(

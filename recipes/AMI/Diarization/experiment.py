@@ -92,9 +92,15 @@ def main():
     feats = hparams["compute_features"](example)
     variables = dict(model.init(jax.random.PRNGKey(0), feats, train=False))
     if hparams.get("pretrainer") is not None:
-        hparams["pretrainer"].collect_files()
-        loaded = hparams["pretrainer"].load_collected()
-        variables = loaded.get("embedding_model", variables)
+        from speechbrain_tpu.utils.checkpoints import PytreeRef
+
+        ref = PytreeRef(variables)
+        pre = hparams["pretrainer"]
+        pre.add_loadables({"embedding_model": ref})
+        pre.modules.setdefault("embedding_model", model)
+        pre.collect_files()
+        pre.load_collected()  # fills ref.tree in place
+        variables = ref.tree
 
     save = Path(hparams["save_folder"])
     save.mkdir(parents=True, exist_ok=True)

@@ -32,7 +32,7 @@ class W2V2Pretrain(sb.Brain):
     def compute_forward(self, params, state, batch, stage, rng):
         wavs, _ = batch["sig"]
         train = stage == sb.Stage.TRAIN
-        k_mask, k_neg, k_q = jax.random.split(rng, 3)
+        k_mask, k_noise, k_neg, k_q, k_drop = jax.random.split(rng, 5)
 
         lat, _ = self.module_apply(
             "extractor", params, state, wavs, mutable_state=[]
@@ -47,15 +47,17 @@ class W2V2Pretrain(sb.Brain):
             lat.shape[:2], self.hparams.mask_prob,
             self.hparams.mask_length, k_mask,
         )
-        # replace masked latents with a (shared) learned-free noise vec
-        noise = 0.1 * jax.random.normal(k_mask, lat.shape, lat.dtype)
+        # replace masked latents with noise from an INDEPENDENT key —
+        # reusing the mask key would make the replacement vectors a
+        # deterministic function of the mask pattern
+        noise = 0.1 * jax.random.normal(k_noise, lat.shape, lat.dtype)
         masked = jnp.where(mask[..., None], noise, lat)
         proj, _ = self.module_apply(
             "latent_proj", params, state, masked, mutable_state=[]
         )
         ctx, _ = self.module_apply(
             "encoder", params, state, proj, train=train, mutable_state=[],
-            rngs={"dropout": rng} if train else None,
+            rngs={"dropout": k_drop} if train else None,
         )
         ctx = ctx[0] if isinstance(ctx, tuple) else ctx
         preds, _ = self.module_apply(

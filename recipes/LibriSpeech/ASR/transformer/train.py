@@ -60,19 +60,20 @@ class ASR(sb.Brain):
             "seq_head", params, state, dec, mutable_state=[]
         )
         ns = self.merge_state(state, "frontend", u0)
+        # include the RESCALED lengths for the CTC input-length calc
         return (
             jax.nn.log_softmax(ctc_logits, -1),
             jax.nn.log_softmax(seq_logits, -1),
+            wav_lens,
         ), ns
 
     def compute_objectives(self, predictions, batch, stage):
-        p_ctc, p_seq = predictions
-        wavs, wav_lens = batch["sig"]
+        p_ctc, p_seq, enc_lens = predictions
         tokens, tok_lens = batch["tokens"]
         tokens_eos, tok_eos_lens = batch["tokens_eos"]
         w = self.hparams.ctc_weight
         loss_ctc = ctc_loss(
-            p_ctc, tokens, wav_lens, tok_lens,
+            p_ctc, tokens, enc_lens, tok_lens,
             blank_index=self.hparams.blank_index,
         )
         loss_seq = kldiv_loss(

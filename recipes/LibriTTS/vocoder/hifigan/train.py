@@ -167,16 +167,33 @@ def main():
             g_losses.append(float(g_l))
         brain.params = params
         brain.opt_state = opt_state
+        # validation: mel-spectrogram L1 of re-synthesized valid segments
+        # (a real vocoder-quality signal, unlike the adversarial g_loss)
+        valid_loader = brain.make_dataloader(
+            datasets["valid"], sb.Stage.VALID, ckpt_prefix=None,
+            batch_size=hparams["batch_size"],
+        )
+        mel_l1s = []
+        for j, vbatch in enumerate(valid_loader):
+            if run_opts.get("debug") and debug_batches and j >= debug_batches:
+                break
+            seg, _ = brain._prepare_batch(vbatch)["sig"]
+            mel = brain.mel_fn(seg)
+            fake = brain.generate(params, mel, False, k)[:, : seg.shape[1]]
+            mel_l1s.append(
+                float(jnp.mean(jnp.abs(brain.mel_fn(fake) - mel)))
+            )
+        valid_mel_l1 = sum(mel_l1s) / max(len(mel_l1s), 1)
         hparams["train_logger"].log_stats(
             stats_meta={"epoch": epoch},
             train_stats={
                 "d_loss": sum(d_losses) / len(d_losses),
                 "g_loss": sum(g_losses) / len(g_losses),
             },
+            valid_stats={"mel_l1": valid_mel_l1},
         )
         brain.save_checkpoint(
-            meta={"g_loss": sum(g_losses) / len(g_losses)},
-            min_keys=["g_loss"],
+            meta={"mel_l1": valid_mel_l1}, min_keys=["mel_l1"]
         )
         if run_opts.get("debug"):
             break

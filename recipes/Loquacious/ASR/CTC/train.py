@@ -45,13 +45,16 @@ class ASRCTC(sb.Brain):
             "ctc_head", params, state, enc, mutable_state=[]
         )
         ns = self.merge_state(state, "frontend", u0)
-        return jax.nn.log_softmax(logits, -1), ns
+        # return the RESCALED lengths: the pre-padding relative lens
+        # applied to the padded frame axis would inflate CTC input
+        # lengths by T_padded/T_true
+        return (jax.nn.log_softmax(logits, -1), wav_lens), ns
 
-    def compute_objectives(self, p_ctc, batch, stage):
-        wavs, wav_lens = batch["sig"]
+    def compute_objectives(self, predictions, batch, stage):
+        p_ctc, enc_lens = predictions
         tokens, tok_lens = batch["tokens"]
         return ctc_loss(
-            p_ctc, tokens, wav_lens, tok_lens,
+            p_ctc, tokens, enc_lens, tok_lens,
             blank_index=self.hparams.blank_index,
         )
 
@@ -75,12 +78,11 @@ class ASRCTC(sb.Brain):
 
     def transcribe_batch(self, batch):
         """Greedy CTC transcription of a prepared batch (eval helper)."""
-        logp, _ = self.compute_forward(
+        (logp, enc_lens), _ = self.compute_forward(
             self.params, self.model_state, batch, sb.Stage.TEST, self.rng
         )
-        wavs, wav_lens = batch["sig"]
         return ctc_greedy_decode(
-            logp, wav_lens, blank_id=self.hparams.blank_index
+            logp, enc_lens, blank_id=self.hparams.blank_index
         )
 
     def on_stage_end(self, stage, stage_loss, epoch=None):

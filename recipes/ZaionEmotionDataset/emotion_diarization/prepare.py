@@ -52,20 +52,22 @@ def prepare_zed(data_folder, save_folder=None):
     save.mkdir(parents=True, exist_ok=True)
     with open(root / "ZED.json", encoding="utf-8") as f:
         meta = json.load(f)
-    manifest = {}
-    for utt, info in meta.items():
+    manifests = {"train": {}, "valid": {}}
+    for i, (utt, info) in enumerate(sorted(meta.items())):
         intervals = [
             [float(iv["start"]), float(iv["end"]),
              EMOTIONS.get(iv.get("emotion", "neutral"), 0)]
             for iv in info.get("intervals", [])
         ]
-        manifest[utt] = {
+        split = "valid" if i % 10 == 9 else "train"
+        manifests[split][utt] = {
             "wav": str(root / info["wav"]),
             "emotion": intervals,
             "duration": float(info.get("duration", 0.0)),
         }
-    with open(save / "valid.json", "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=1)
+    for split, manifest in manifests.items():
+        with open(save / f"{split}.json", "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
 
 
 if __name__ == "__main__":

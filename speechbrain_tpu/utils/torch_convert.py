@@ -849,11 +849,11 @@ def pour_reference_checkpoint(module, variables, path, strict=True):
     name = (
         qualname if qualname in _POUR_REGISTRY else type(module).__name__
     )
-    state = load_torch_state_dict(path)
     if name not in _POUR_REGISTRY:
         return load_torch_state_dict_into_pytree(
             path, variables, strict=strict
         )
+    state = load_torch_state_dict(path)
     preprocessors, map_factory = _POUR_REGISTRY[name]
     for pre in preprocessors:
         state = pre(state)
