@@ -810,6 +810,9 @@ _POUR_REGISTRY = {
     "TransformerEncoder": (
         [split_torch_mha_inproj], lambda m: transformer_encoder_key_map
     ),
+    "TransformerDecoder": (
+        [split_torch_mha_inproj], lambda m: transformer_decoder_key_map
+    ),
     # ConformerEncoder's qkv split needs nhead; handled inline below
     "ConformerEncoder": ([], lambda m: conformer_encoder_key_map),
     "DualPathModel": (
@@ -862,3 +865,37 @@ def pour_reference_checkpoint(module, variables, path, strict=True):
         state = split_conformer_inproj(state, nhead=module.nhead)
     return pour_torch_keys(state, variables, map_factory(module),
                            strict=strict)
+
+
+def transformer_decoder_key_map(key):
+    """Reference vanilla TransformerDecoder (Transformer.py:630) -> our
+    TransformerDecoder: self_attn -> MultiheadAttention_0, the cross
+    multihead_attn -> cross_attn, pos_ffn -> ffn, norms 1:1. Run the
+    state through :func:`split_torch_mha_inproj` first."""
+    k = re.sub(r"^layers\.(\d+)\.", r"layer_\1.", key)
+    k = k.replace(".self_attn.att.out_proj.",
+                  ".MultiheadAttention_0.out_proj.")
+    k = k.replace(".multihead_attn.att.out_proj.",
+                  ".cross_attn.out_proj.")
+    k = k.replace(".pos_ffn.ffn.0.", ".ffn.ffn1.")
+    k = k.replace(".pos_ffn.ffn.3.", ".ffn.ffn2.")
+    for i in "123":
+        k = k.replace(f".norm{i}.norm.", f".norm{i}.LayerNorm_0.")
+    k = re.sub(r"^norm\.norm\.", "norm.LayerNorm_0.", k)
+    m = re.match(
+        r"^(.*)\.(self_attn|multihead_attn)\.att\.([qkv])_(kernel|bias)$", k
+    )
+    if m:
+        stem, which, qkv, leaf = m.groups()
+        attn = ("MultiheadAttention_0" if which == "self_attn"
+                else "cross_attn")
+        return ("params/" + stem.replace(".", "/")
+                + f"/{attn}/{qkv}_proj/{leaf}")
+    if k.endswith(".weight"):
+        stem = k[: -len(".weight")]
+        if "LayerNorm_0" in stem:
+            return "params/" + stem.replace(".", "/") + "/scale"
+        return ("params/" + stem.replace(".", "/") + "/kernel", (1, 0))
+    if k.endswith(".bias"):
+        return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
+    return None

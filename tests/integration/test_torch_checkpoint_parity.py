@@ -667,3 +667,43 @@ def test_pretrainer_uses_exact_converter_registry(tmp_path):
         )
     )
     np.testing.assert_allclose(out, tout, atol=1e-4, rtol=1e-4)
+
+
+def test_transformer_decoder_torch_checkpoint_pours_to_output_parity(
+    tmp_path,
+):
+    """Vanilla TransformerDecoder pour (self + cross attention, ref
+    Transformer.py:630) — completes the asr-conformer enc+dec path."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.transformer.Transformer import (
+        TransformerDecoder as TorchDec,
+    )
+
+    D, H, FFN, L = 16, 4, 32, 2
+    tdec = TorchDec(num_layers=L, d_model=D, d_ffn=FFN, nhead=H,
+                    dropout=0.0).eval()
+    rng = np.random.default_rng(12)
+    tgt = rng.standard_normal((2, 5, D)).astype(np.float32)
+    mem = rng.standard_normal((2, 9, D)).astype(np.float32)
+    with torch.no_grad():
+        tout = tdec(torch.from_numpy(tgt), torch.from_numpy(mem))[0].numpy()
+    ckpt = tmp_path / "tdec.ckpt"
+    torch.save(tdec.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.transformer.Transformer import (
+        TransformerDecoder,
+    )
+    from speechbrain_tpu.utils.torch_convert import (
+        pour_reference_checkpoint,
+    )
+
+    dec = TransformerDecoder(num_layers=L, d_model=D, d_ffn=FFN, nhead=H,
+                             dropout=0.0)
+    jt, jm = jnp.asarray(tgt), jnp.asarray(mem)
+    variables = dec.init(jax.random.PRNGKey(0), jt, jm)
+    poured = pour_reference_checkpoint(dec, variables, str(ckpt))
+    out = dec.apply(poured, jt, jm)[0]
+    np.testing.assert_allclose(np.asarray(out), tout, atol=1e-4, rtol=1e-4)
