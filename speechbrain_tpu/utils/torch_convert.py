@@ -813,8 +813,9 @@ _POUR_REGISTRY = {
     "TransformerDecoder": (
         [split_torch_mha_inproj], lambda m: transformer_decoder_key_map
     ),
-    # ConformerEncoder's qkv split needs nhead; handled inline below
+    # (Branch|Conf)ormerEncoder qkv splits need nhead; handled inline
     "ConformerEncoder": ([], lambda m: conformer_encoder_key_map),
+    "BranchformerEncoder": ([], lambda m: branchformer_encoder_key_map),
     "DualPathModel": (
         [split_torch_mha_inproj, reshape_sepformer_convs],
         lambda m: sepformer_masknet_key_map,
@@ -860,7 +861,7 @@ def pour_reference_checkpoint(module, variables, path, strict=True):
     preprocessors, map_factory = _POUR_REGISTRY[name]
     for pre in preprocessors:
         state = pre(state)
-    if name == "ConformerEncoder":
+    if name in ("ConformerEncoder", "BranchformerEncoder"):
         # the RelPosMHAXL fast path interleaves qkv per head
         state = split_conformer_inproj(state, nhead=module.nhead)
     return pour_torch_keys(state, variables, map_factory(module),
@@ -896,6 +897,51 @@ def transformer_decoder_key_map(key):
         if "LayerNorm_0" in stem:
             return "params/" + stem.replace(".", "/") + "/scale"
         return ("params/" + stem.replace(".", "/") + "/kernel", (1, 0))
+    if k.endswith(".bias"):
+        return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
+    return None
+
+
+def branchformer_encoder_key_map(key):
+    """Reference BranchformerEncoder (Branchformer.py) -> our
+    BranchformerEncoder: RelPosMHAXL attention branch + cgMLP
+    (pre/post channel proj, CSGU norm + depthwise conv) + merge proj.
+    Run the state through :func:`split_conformer_inproj` (the
+    RelPosMHAXL per-head fast-path layout) first."""
+    k = re.sub(r"^layers\.(\d+)\.", r"layer_\1.", key)
+    k = k.replace(".mha_layer.out_proj.", ".RelPosMHAXL_0.out_proj.")
+    k = k.replace(".mha_layer.linear_pos.", ".RelPosMHAXL_0.pos_proj.")
+    k = k.replace(".convolution_branch.pre_channel_proj.", ".cgmlp.up.")
+    k = k.replace(".convolution_branch.post_channel_proj.",
+                  ".cgmlp.down.")
+    k = k.replace(".convolution_branch.csgu.norm.norm.",
+                  ".cgmlp.csgu.norm.LayerNorm_0.")
+    k = k.replace(".convolution_branch.csgu.conv.conv.",
+                  ".cgmlp.csgu.dw_conv.")
+    k = k.replace(".merge_proj.", ".merge.")
+    k = k.replace(".norm_mhsa.norm.", ".norm_attn.LayerNorm_0.")
+    k = k.replace(".norm_conv.norm.", ".norm_conv.LayerNorm_0.")
+    k = re.sub(r"^norm\.norm\.", "norm_out.LayerNorm_0.", k)
+    if ".mha_layer.pos_bias_" in k:
+        return "params/" + k.replace(
+            ".mha_layer.pos_bias_", ".RelPosMHAXL_0.pos_bias_"
+        ).replace(".", "/")
+    # split_conformer_inproj emits "<layer>.q_kernel" (the .mha_layer
+    # segment is consumed by the splitter)
+    m = re.match(r"^(.*)\.([qkv])_(kernel|bias)$", k)
+    if m:
+        stem, qkv, leaf = m.groups()
+        return ("params/" + stem.replace(".", "/")
+                + f"/RelPosMHAXL_0/{qkv}_proj/{leaf}")
+    if k.endswith(".weight"):
+        stem = k[: -len(".weight")]
+        if "LayerNorm_0" in stem:
+            return "params/" + stem.replace(".", "/") + "/scale"
+        dst = "params/" + stem.replace(".", "/") + "/kernel"
+        if any(t in stem for t in (".out_proj", ".pos_proj", ".up",
+                                   ".down", ".merge")):
+            return (dst, (1, 0))
+        return dst
     if k.endswith(".bias"):
         return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
     return None

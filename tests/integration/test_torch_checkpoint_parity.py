@@ -707,3 +707,48 @@ def test_transformer_decoder_torch_checkpoint_pours_to_output_parity(
     poured = pour_reference_checkpoint(dec, variables, str(ckpt))
     out = dec.apply(poured, jt, jm)[0]
     np.testing.assert_allclose(np.asarray(out), tout, atol=1e-4, rtol=1e-4)
+
+
+def test_branchformer_encoder_torch_checkpoint_pours_to_output_parity(
+    tmp_path,
+):
+    """BranchformerEncoder pour (RelPosMHAXL branch + cgMLP branch +
+    merge, ref Branchformer.py) — the asr-branchformer checkpoint
+    path."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.transformer.Branchformer import (
+        BranchformerEncoder as TorchBF,
+    )
+    from speechbrain.nnet.attention import RelPosEncXL as TorchPE
+
+    D, H, K, CS, L = 16, 4, 7, 32, 2
+    tenc = TorchBF(num_layers=L, d_model=D, nhead=H, kernel_size=K,
+                   csgu_linear_units=CS, dropout=0.0).eval()
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 10, D)).astype(np.float32)
+    with torch.no_grad():
+        tpe = TorchPE(D)(torch.from_numpy(x))
+        tout = tenc(torch.from_numpy(x), pos_embs=tpe)[0].numpy()
+    ckpt = tmp_path / "bf.ckpt"
+    torch.save(tenc.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.transformer.Branchformer import (
+        BranchformerEncoder,
+    )
+    from speechbrain_tpu.nnet.attention import RelPosEncXL
+    from speechbrain_tpu.utils.torch_convert import (
+        pour_reference_checkpoint,
+    )
+
+    enc = BranchformerEncoder(num_layers=L, d_model=D, nhead=H,
+                              kernel_size=K, csgu_linear_units=CS)
+    jx = jnp.asarray(x)
+    pe = RelPosEncXL(emb_dim=D)(jx)
+    variables = enc.init(jax.random.PRNGKey(0), jx, pos_embs=pe)
+    poured = pour_reference_checkpoint(enc, variables, str(ckpt))
+    out = enc.apply(poured, jx, pos_embs=pe)
+    out = out[0] if isinstance(out, tuple) else out
+    np.testing.assert_allclose(np.asarray(out), tout, atol=1e-4, rtol=1e-4)
