@@ -807,6 +807,9 @@ _POUR_REGISTRY = {
     "Xvector": ([], lambda m: xvector_key_map),
     "CRDNN": ([merge_lstm_biases], lambda m: crdnn_key_map),
     "RNNLM": ([merge_lstm_biases], lambda m: rnnlm_key_map),
+    "EnhancementGenerator": (
+        [merge_lstm_biases], lambda m: metricgan_generator_key_map
+    ),
     "TransformerEncoder": (
         [split_torch_mha_inproj], lambda m: transformer_encoder_key_map
     ),
@@ -945,3 +948,27 @@ def branchformer_encoder_key_map(key):
     if k.endswith(".bias"):
         return "params/" + k[: -len(".bias")].replace(".", "/") + "/bias"
     return None
+
+
+def metricgan_generator_key_map(key):
+    """Reference MetricGAN EnhancementGenerator (MetricGAN.py:59) -> our
+    EnhancementGenerator: 2-layer biLSTM masker + 2 linears + learnable
+    sigmoid slope. Run the state through :func:`merge_lstm_biases`."""
+    m = re.match(r"^blstm\.rnn\.weight_(ih|hh)_l(\d+)(_reverse)?$", key)
+    if m:
+        d = 1 if m.group(3) else 0
+        if m.group(1) == "ih":
+            return (f"params/blstm/wx_l{m.group(2)}_d{d}/kernel", (1, 0))
+        return (f"params/blstm/wh_l{m.group(2)}_d{d}", (1, 0))
+    m = re.match(r"^blstm\.rnn\.bias_l(\d+)(_reverse)?$", key)
+    if m:
+        d = 1 if m.group(2) else 0
+        return f"params/blstm/wx_l{m.group(1)}_d{d}/bias"
+    table = {
+        "linear1.weight": ("params/linear1/kernel", (1, 0)),
+        "linear1.bias": "params/linear1/bias",
+        "linear2.weight": ("params/linear2/kernel", (1, 0)),
+        "linear2.bias": "params/linear2/bias",
+        "Learnable_sigmoid.slope": "params/lsigmoid/slope",
+    }
+    return table.get(key)

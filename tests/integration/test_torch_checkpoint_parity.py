@@ -752,3 +752,44 @@ def test_branchformer_encoder_torch_checkpoint_pours_to_output_parity(
     out = enc.apply(poured, jx, pos_embs=pe)
     out = out[0] if isinstance(out, tuple) else out
     np.testing.assert_allclose(np.asarray(out), tout, atol=1e-4, rtol=1e-4)
+
+
+def test_metricgan_generator_torch_checkpoint_pours_to_output_parity(
+    tmp_path,
+):
+    """MetricGAN+ EnhancementGenerator pour (biLSTM masker, ref
+    MetricGAN.py:59) — the metricgan-plus-voicebank checkpoint path.
+    The reference head is hardcoded to 400->300->257, so the test uses
+    the published dimensions."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.MetricGAN import (
+        EnhancementGenerator as TorchGen,
+    )
+
+    tm = TorchGen(input_size=257, hidden_size=200, num_layers=2,
+                  dropout=0.0).eval()
+    rng = np.random.default_rng(14)
+    mag = np.abs(rng.standard_normal((2, 12, 257))).astype(np.float32)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(mag),
+                  lengths=torch.ones(2)).numpy()
+    ckpt = tmp_path / "mg.ckpt"
+    torch.save(tm.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.MetricGAN import (
+        EnhancementGenerator,
+    )
+    from speechbrain_tpu.utils.torch_convert import (
+        pour_reference_checkpoint,
+    )
+
+    g = EnhancementGenerator(lstm_neurons=200, dnn_neurons=300)
+    jx = jnp.asarray(mag)
+    variables = g.init(jax.random.PRNGKey(0), jx)
+    poured = pour_reference_checkpoint(g, variables, str(ckpt))
+    out = g.apply(poured, jx)
+    out = out[0] if isinstance(out, tuple) else out
+    np.testing.assert_allclose(np.asarray(out), tout, atol=1e-4, rtol=1e-4)
