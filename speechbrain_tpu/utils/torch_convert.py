@@ -790,87 +790,6 @@ def tacotron2_key_map(key):
     return None
 
 
-# ---------------------------------------------------------------------------
-# Exact-converter registry: flax module class name -> (preprocessors,
-# key-map factory). pour_reference_checkpoint() dispatches through this,
-# giving a one-call path from a reference torch .ckpt to our variables.
-# ---------------------------------------------------------------------------
-
-_POUR_REGISTRY = {
-    # qualified class name: ([state preprocessors], key_map factory);
-    # bare class names are looked up as a fallback, so only ambiguous
-    # classes (e.g. the two `Classifier`s) need the full module path
-    "ECAPA_TDNN": ([], lambda m: ecapa_key_map),
-    "speechbrain_tpu.lobes.models.ECAPA_TDNN.Classifier": (
-        [], lambda m: ecapa_classifier_key_map
-    ),
-    "Xvector": ([], lambda m: xvector_key_map),
-    "CRDNN": ([merge_lstm_biases], lambda m: crdnn_key_map),
-    "RNNLM": ([merge_lstm_biases], lambda m: rnnlm_key_map),
-    "EnhancementGenerator": (
-        [merge_lstm_biases], lambda m: metricgan_generator_key_map
-    ),
-    "TransformerEncoder": (
-        [split_torch_mha_inproj], lambda m: transformer_encoder_key_map
-    ),
-    "TransformerDecoder": (
-        [split_torch_mha_inproj], lambda m: transformer_decoder_key_map
-    ),
-    # (Branch|Conf)ormerEncoder qkv splits need nhead; handled inline
-    "ConformerEncoder": ([], lambda m: conformer_encoder_key_map),
-    "BranchformerEncoder": ([], lambda m: branchformer_encoder_key_map),
-    "DualPathModel": (
-        [split_torch_mha_inproj, reshape_sepformer_convs],
-        lambda m: sepformer_masknet_key_map,
-    ),
-    "HifiganGenerator": (
-        [fuse_weight_norm],
-        lambda m: hifigan_generator_key_map(
-            n_kernels=len(m.resblock_kernel_sizes)
-        ),
-    ),
-    "Tacotron2": (
-        [merge_lstm_biases, merge_lstmcell_biases],
-        lambda m: tacotron2_key_map,
-    ),
-}
-
-
-def pour_reference_checkpoint(module, variables, path, strict=True):
-    """Load a REFERENCE torch ``.ckpt`` state_dict into our flax
-    ``variables`` using the exact, parity-tested converter for the
-    module's architecture (every converter here is verified to 1e-4
-    output parity in tests/integration/test_torch_checkpoint_parity.py).
-
-    Arguments
-    ---------
-    module : flax module instance (selects the converter by class name).
-    variables : the module's init() variables (shapes/dtypes to fill).
-    path : torch checkpoint path (e.g. from an HF snapshot of
-        speechbrain/asr-crdnn-rnnlm-librispeech).
-    strict : raise on unmapped/missing keys.
-
-    Falls back to the name-heuristic loader for unregistered classes.
-    """
-    qualname = f"{type(module).__module__}.{type(module).__name__}"
-    name = (
-        qualname if qualname in _POUR_REGISTRY else type(module).__name__
-    )
-    if name not in _POUR_REGISTRY:
-        return load_torch_state_dict_into_pytree(
-            path, variables, strict=strict
-        )
-    state = load_torch_state_dict(path)
-    preprocessors, map_factory = _POUR_REGISTRY[name]
-    for pre in preprocessors:
-        state = pre(state)
-    if name in ("ConformerEncoder", "BranchformerEncoder"):
-        # the RelPosMHAXL fast path interleaves qkv per head
-        state = split_conformer_inproj(state, nhead=module.nhead)
-    return pour_torch_keys(state, variables, map_factory(module),
-                           strict=strict)
-
-
 def transformer_decoder_key_map(key):
     """Reference vanilla TransformerDecoder (Transformer.py:630) -> our
     TransformerDecoder: self_attn -> MultiheadAttention_0, the cross
@@ -972,3 +891,168 @@ def metricgan_generator_key_map(key):
         "Learnable_sigmoid.slope": "params/lsigmoid/slope",
     }
     return table.get(key)
+
+
+def squeeze_resnet_attention_convs(state):
+    """The reference ResNet's attentive pooling uses k=1 Conv1d layers;
+    squeeze the trailing kernel dim so they pour into our Linears."""
+    out = dict(state)
+    for key in ("attention.0.weight", "attention.3.weight"):
+        if key in out:
+            w = np.asarray(out[key])
+            if w.ndim == 3 and w.shape[-1] == 1:
+                out[key] = w[:, :, 0]
+    return out
+
+
+def resnet_key_map(key):
+    """Reference ResNet (lobes/models/ResNet.py:235) -> our ResNet.
+    Run the state through :func:`squeeze_resnet_attention_convs`."""
+    if key.endswith("num_batches_tracked"):
+        return None
+
+    def bn(block, leaf):
+        return {
+            "weight": f"params/{block}/BatchNorm_0/scale",
+            "bias": f"params/{block}/BatchNorm_0/bias",
+            "running_mean": f"batch_stats/{block}/BatchNorm_0/mean",
+            "running_var": f"batch_stats/{block}/BatchNorm_0/var",
+        }.get(leaf)
+
+    m = re.match(r"^conv1\.weight$", key)
+    if m:
+        return "params/conv_in/kernel"
+    m = re.match(r"^bn1\.(.+)$", key)
+    if m:
+        return bn("bn_in", m.group(1))
+    m = re.match(r"^layer(\d)\.(\d+)\.(bn\d)\.(.+)$", key)
+    if m:
+        stage, i, which, leaf = m.groups()
+        return bn(f"block_{int(stage) - 1}_{i}/{which}", leaf)
+    m = re.match(r"^layer(\d)\.(\d+)\.conv(\d)\.weight$", key)
+    if m:
+        stage, i, c = m.groups()
+        return f"params/block_{int(stage) - 1}_{i}/conv{c}/kernel"
+    m = re.match(r"^layer(\d)\.(\d+)\.se\.fc\.(0|2)\.(weight|bias)$", key)
+    if m:
+        stage, i, idx, leaf = m.groups()
+        fc = "fc1" if idx == "0" else "fc2"
+        if leaf == "weight":
+            return (f"params/block_{int(stage) - 1}_{i}/se/{fc}/kernel",
+                    (1, 0))
+        return f"params/block_{int(stage) - 1}_{i}/se/{fc}/bias"
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.0\.weight$", key)
+    if m:
+        stage, i = m.groups()
+        return f"params/block_{int(stage) - 1}_{i}/down/kernel"
+    m = re.match(r"^layer(\d)\.(\d+)\.downsample\.1\.(.+)$", key)
+    if m:
+        stage, i, leaf = m.groups()
+        return bn(f"block_{int(stage) - 1}_{i}/bn_down", leaf)
+    m = re.match(r"^norm_stats\.(.+)$", key)
+    if m:
+        return bn("norm_stats", m.group(1))
+    m = re.match(r"^attention\.0\.(weight|bias)$", key)
+    if m:
+        if m.group(1) == "weight":
+            return ("params/attn_in/kernel", (1, 0))
+        return "params/attn_in/bias"
+    m = re.match(r"^attention\.2\.(.+)$", key)
+    if m:
+        return bn("attn_bn", m.group(1))
+    m = re.match(r"^attention\.3\.(weight|bias)$", key)
+    if m:
+        if m.group(1) == "weight":
+            return ("params/attn_out/kernel", (1, 0))
+        return "params/attn_out/bias"
+    m = re.match(r"^fc_embed\.(weight|bias)$", key)
+    if m:
+        if m.group(1) == "weight":
+            return ("params/fc_embed/kernel", (1, 0))
+        return "params/fc_embed/bias"
+    m = re.match(r"^norm_embed\.(.+)$", key)
+    if m:
+        return bn("norm_embed", m.group(1))
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Exact-converter registry: flax module class name -> (preprocessors,
+# key-map factory). pour_reference_checkpoint() dispatches through this,
+# giving a one-call path from a reference torch .ckpt to our variables.
+# ---------------------------------------------------------------------------
+
+_POUR_REGISTRY = {
+    # qualified class name: ([state preprocessors], key_map factory);
+    # bare class names are looked up as a fallback, so only ambiguous
+    # classes (e.g. the two `Classifier`s) need the full module path
+    "ECAPA_TDNN": ([], lambda m: ecapa_key_map),
+    "speechbrain_tpu.lobes.models.ECAPA_TDNN.Classifier": (
+        [], lambda m: ecapa_classifier_key_map
+    ),
+    "Xvector": ([], lambda m: xvector_key_map),
+    "ResNet": ([squeeze_resnet_attention_convs], lambda m: resnet_key_map),
+    "CRDNN": ([merge_lstm_biases], lambda m: crdnn_key_map),
+    "RNNLM": ([merge_lstm_biases], lambda m: rnnlm_key_map),
+    "EnhancementGenerator": (
+        [merge_lstm_biases], lambda m: metricgan_generator_key_map
+    ),
+    "TransformerEncoder": (
+        [split_torch_mha_inproj], lambda m: transformer_encoder_key_map
+    ),
+    "TransformerDecoder": (
+        [split_torch_mha_inproj], lambda m: transformer_decoder_key_map
+    ),
+    # (Branch|Conf)ormerEncoder qkv splits need nhead; handled inline
+    "ConformerEncoder": ([], lambda m: conformer_encoder_key_map),
+    "BranchformerEncoder": ([], lambda m: branchformer_encoder_key_map),
+    "DualPathModel": (
+        [split_torch_mha_inproj, reshape_sepformer_convs],
+        lambda m: sepformer_masknet_key_map,
+    ),
+    "HifiganGenerator": (
+        [fuse_weight_norm],
+        lambda m: hifigan_generator_key_map(
+            n_kernels=len(m.resblock_kernel_sizes)
+        ),
+    ),
+    "Tacotron2": (
+        [merge_lstm_biases, merge_lstmcell_biases],
+        lambda m: tacotron2_key_map,
+    ),
+}
+
+
+def pour_reference_checkpoint(module, variables, path, strict=True):
+    """Load a REFERENCE torch ``.ckpt`` state_dict into our flax
+    ``variables`` using the exact, parity-tested converter for the
+    module's architecture (every converter here is verified to 1e-4
+    output parity in tests/integration/test_torch_checkpoint_parity.py).
+
+    Arguments
+    ---------
+    module : flax module instance (selects the converter by class name).
+    variables : the module's init() variables (shapes/dtypes to fill).
+    path : torch checkpoint path (e.g. from an HF snapshot of
+        speechbrain/asr-crdnn-rnnlm-librispeech).
+    strict : raise on unmapped/missing keys.
+
+    Falls back to the name-heuristic loader for unregistered classes.
+    """
+    qualname = f"{type(module).__module__}.{type(module).__name__}"
+    name = (
+        qualname if qualname in _POUR_REGISTRY else type(module).__name__
+    )
+    if name not in _POUR_REGISTRY:
+        return load_torch_state_dict_into_pytree(
+            path, variables, strict=strict
+        )
+    state = load_torch_state_dict(path)
+    preprocessors, map_factory = _POUR_REGISTRY[name]
+    for pre in preprocessors:
+        state = pre(state)
+    if name in ("ConformerEncoder", "BranchformerEncoder"):
+        # the RelPosMHAXL fast path interleaves qkv per head
+        state = split_conformer_inproj(state, nhead=module.nhead)
+    return pour_torch_keys(state, variables, map_factory(module),
+                           strict=strict)

@@ -9,6 +9,14 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(autouse=True)
+def _seed_torch():
+    """torch param init + randomized BN stats draw from torch's GLOBAL
+    rng; seed it so the 1e-4 parity tolerance is deterministic instead
+    of marginally flaky across runs."""
+    torch.manual_seed(3407)
 transformers = pytest.importorskip("transformers")
 
 
