@@ -188,9 +188,12 @@ def main():
 
     params, opt_state = brain.params, brain.opt_state
     state = brain.model_state
+    debug_batches = run_opts.get("debug_batches") or 0
     for epoch in hparams["epoch_counter"]:
         d_losses, g_losses = [], []
         for i, batch in enumerate(loader):
+            if run_opts.get("debug") and debug_batches and i >= debug_batches:
+                break
             db = brain._prepare_batch(batch)
             b = brain.make_batch(db)
             params, state, opt_state, d_l = d_step(
@@ -216,6 +219,8 @@ def main():
             meta={"g_loss": sum(g_losses) / len(g_losses)},
             min_keys=["g_loss"],
         )
+        if run_opts.get("debug"):
+            break
 
 
 if __name__ == "__main__":

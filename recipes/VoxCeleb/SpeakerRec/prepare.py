@@ -10,9 +10,11 @@ import numpy as np
 
 
 def prepare_synthetic(data_folder, n_spk=4, n_per_spk=3,
-                      sample_rate=16000, seed=0):
+                      sample_rate=16000, seed=0, save_folder=None):
     root = Path(data_folder)
     root.mkdir(parents=True, exist_ok=True)
+    save = Path(save_folder) if save_folder else root
+    save.mkdir(parents=True, exist_ok=True)
     from speechbrain_tpu.dataio.dataio import write_audio
 
     rng = np.random.default_rng(seed)
@@ -32,8 +34,10 @@ def prepare_synthetic(data_folder, n_spk=4, n_per_spk=3,
                 "wav": str(path), "spk_id": f"spk{s}",
                 "length": len(sig) / sample_rate,
             }
+    # the VoxCeleb yaml names its validation manifest dev.json
+    entries["dev"] = entries.pop("valid")
     for split, items in entries.items():
-        with open(root / f"{split}.json", "w") as f:
+        with open(save / f"{split}.json", "w") as f:
             json.dump(items, f, indent=2)
 
 

@@ -139,7 +139,10 @@ if __name__ == "__main__":
         sys.path.insert(0, str(Path(__file__).parent))
         from prepare import prepare_synthetic
 
-        prepare_synthetic(hparams["data_folder"])
+        prepare_synthetic(
+            hparams["data_folder"],
+            save_folder=Path(hparams["train_annotation"]).parent,
+        )
     datasets = dataio_prepare(hparams)
     brain = SpeakerBrain(
         modules=hparams["modules"],
