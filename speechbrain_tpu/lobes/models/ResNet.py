@@ -98,7 +98,9 @@ class ResNet(nn.Module):
     """
 
     layers: tuple = (3, 4, 6, 3)
-    channels: tuple = (32, 64, 128, 256)
+    # reference defaults (ResNet.py:269): the published
+    # spkrec-resnet-voxceleb checkpoint pours into a default-built module
+    channels: tuple = (128, 128, 256, 256)
     lin_neurons: int = 256
     attention_channels: int = 128
     strides: tuple = (1, 2, 2, 2)

@@ -163,6 +163,14 @@ def _normalize_target_path(path):
 
 import re
 
+#: Sentinel a key_map_fn returns to DELIBERATELY drop a source key (e.g. a
+#: fixed sinusoid buffer we recompute). ``None`` now means "unrecognized"
+#: and raises under strict=True instead of silently skipping.
+SKIP = object()
+
+#: Torch bookkeeping keys that never carry weights; always droppable.
+_ALWAYS_SKIP_SUFFIXES = ("num_batches_tracked",)
+
 
 def pour_torch_keys(state, variables, key_map_fn, strict=True):
     """Pour a torch state_dict into flax ``variables`` using an exact
@@ -172,18 +180,27 @@ def pour_torch_keys(state, variables, key_map_fn, strict=True):
     ---------
     state : dict name -> np.ndarray (from load_torch_state_dict)
     variables : nested dict with collections ("params", "batch_stats", ...)
-    key_map_fn : torch key -> "collection/a/b/leaf" string, or None to skip.
-    strict : raise if a mapped key is absent from the target or a source
-        key maps nowhere (excluding key_map_fn-skipped ones).
+    key_map_fn : torch key -> "collection/a/b/leaf" string, ``SKIP`` to
+        deliberately drop the key, or None for "unrecognized".
+    strict : raise if a mapped key is absent from the target, OR if any
+        source key is unrecognized (key_map_fn returned None) — an
+        unrecognized key (e.g. an upstream rename) would otherwise leave
+        target leaves at random init and silently degrade outputs.
 
     Layout: 2-D leaves are transposed when needed; 3-D conv weights
     (out, in, K) -> (K, in, out); 4-D (out, in, H, W) -> (H, W, in, out).
     """
     flat = _flatten(variables)
     result = dict(flat)
+    unmapped = []
     for key, src in state.items():
+        if key.endswith(_ALWAYS_SKIP_SUFFIXES):
+            continue
         dst = key_map_fn(key)
+        if dst is SKIP:
+            continue
         if dst is None:
+            unmapped.append(key)
             continue
         if isinstance(dst, tuple):  # (dst, explicit transpose perm)
             dst, perm = dst
@@ -201,6 +218,14 @@ def pour_torch_keys(state, variables, key_map_fn, strict=True):
             raise ValueError(
                 f"{key} -> {dst}: no layout {src.shape} -> {tgt.shape}"
             )
+    if unmapped:
+        msg = (
+            f"{len(unmapped)} source keys unrecognized by the converter "
+            f"(would leave target leaves at init): {sorted(unmapped)[:8]}"
+        )
+        if strict:
+            raise KeyError(msg)
+        logger.warning(msg)
     return _unflatten(result)
 
 
@@ -514,7 +539,7 @@ def sepformer_masknet_key_map(key):
     :func:`split_torch_mha_inproj` and :func:`reshape_sepformer_convs`
     first."""
     if key.endswith("pos_enc.pe"):
-        return None  # fixed sinusoid buffer; we compute it
+        return SKIP  # fixed sinusoid buffer; we compute it
     m = re.match(r"^dual_mdl\.(\d+)\.(intra|inter)_mdl\.mdl\.(.*)$", key)
     if m:
         i, which, inner = m.groups()
@@ -640,14 +665,23 @@ def fuse_weight_norm(state):
     """Fuse torch weight-norm parametrization (weight_g, weight_v) into
     plain weights: W = g * v / ||v|| with the norm over all dims except
     the first (torch's weight_norm dim=0 default) — the HiFiGAN family
-    stores every conv this way."""
+    stores every conv this way. Handles both the legacy ``weight_g`` /
+    ``weight_v`` naming and the torch>=2.1 ``parametrizations.weight.
+    original0`` (g) / ``original1`` (v) naming."""
     out = dict(state)
     for key in list(out):
-        if not key.endswith(".weight_v"):
+        if key.endswith(".weight_v"):
+            stem = key[: -len(".weight_v")]
+            v = np.asarray(out.pop(key))
+            g = np.asarray(out.pop(stem + ".weight_g"))
+        elif key.endswith(".parametrizations.weight.original1"):
+            stem = key[: -len(".parametrizations.weight.original1")]
+            v = np.asarray(out.pop(key))
+            g = np.asarray(
+                out.pop(stem + ".parametrizations.weight.original0")
+            )
+        else:
             continue
-        stem = key[: -len(".weight_v")]
-        v = np.asarray(out.pop(key))
-        g = np.asarray(out.pop(stem + ".weight_g"))
         axes = tuple(range(1, v.ndim))
         norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
         out[stem + ".weight"] = g * v / np.maximum(norm, 1e-12)
@@ -1044,8 +1078,17 @@ def pour_reference_checkpoint(module, variables, path, strict=True):
         qualname if qualname in _POUR_REGISTRY else type(module).__name__
     )
     if name not in _POUR_REGISTRY:
+        # Name/shape-heuristic fallback: strict matching would raise for
+        # any target leaf without a source (e.g. computed buffers), so a
+        # class WITHOUT a registered exact converter loads non-strict —
+        # supplying it in Pretrainer(modules=...) must not make a load
+        # fail that would have succeeded without it.
+        logger.warning(
+            "%s has no registered exact converter; falling back to the "
+            "name/shape-heuristic (non-strict) torch loader", name,
+        )
         return load_torch_state_dict_into_pytree(
-            path, variables, strict=strict
+            path, variables, strict=False
         )
     state = load_torch_state_dict(path)
     preprocessors, map_factory = _POUR_REGISTRY[name]

@@ -28,7 +28,14 @@ def _seed_torch():
     O(1e-2)+ divergence."""
     torch.manual_seed(3407)
 
-REF = "/root/reference"
+import os
+
+REF = os.environ.get("SB_REFERENCE_PATH", "/root/reference")
+if not os.path.isdir(os.path.join(REF, "speechbrain")):
+    pytest.skip(
+        "reference speechbrain checkout not found (set SB_REFERENCE_PATH)",
+        allow_module_level=True,
+    )
 
 
 def _import_reference_ecapa():
