@@ -91,6 +91,48 @@ class TransformerLMScorer(BaseScorerInterface):
         return {"tokens": memory["tokens"][index], "step": memory["step"]}
 
 
+class KVTransformerLMScorer(BaseScorerInterface):
+    """KV-cached transformer-LM shallow fusion: O(step) work per decode
+    step instead of re-running the LM over the whole token buffer (the
+    serving-speed variant of :class:`TransformerLMScorer`; same scores).
+
+    Arguments
+    ---------
+    step_fn : (tokens (N,), cache, step) -> (logits (N, V), new_cache)
+        e.g. ``lambda t, c, s: lm.apply(v, t, c, s, method="score_step")``.
+    init_cache_fn : (n, max_length) -> cache pytree with batch-leading
+        leaves (the beam predecessor gather permutes axis 0).
+    """
+
+    def __init__(self, step_fn, init_cache_fn, max_length=512,
+                 temperature=1.0):
+        self.step_fn = step_fn
+        self.init_cache_fn = init_cache_fn
+        self.max_length = max_length
+        self.temperature = temperature
+
+    def reset_mem(self, x, enc_lens):
+        return {
+            "cache": self.init_cache_fn(x.shape[0], self.max_length),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def score(self, inp_tokens, memory, candidates, attn):
+        logits, cache = self.step_fn(
+            inp_tokens, memory["cache"], memory["step"]
+        )
+        log_probs = jax.nn.log_softmax(logits / self.temperature, axis=-1)
+        return log_probs, {"cache": cache, "step": memory["step"] + 1}
+
+    def permute_mem(self, memory, index):
+        return {
+            "cache": jax.tree_util.tree_map(
+                lambda t: t[index], memory["cache"]
+            ),
+            "step": memory["step"],
+        }
+
+
 class CTCScorer(BaseScorerInterface):
     """Joint CTC prefix scoring (partial scorer; reference scorer.py:108).
 
@@ -116,7 +158,9 @@ class CTCScorer(BaseScorerInterface):
             self.ctc_window_size,
         )
         state = self._impl.init_state(x.shape[0])
-        state["last_tokens"] = jnp.full((x.shape[0],), -1, jnp.int32)
+        # NOTE: the state dict must keep the same pytree structure across
+        # the beam fori_loop carry: reset_mem and permute_and_select both
+        # produce exactly {r_b, r_n, psi_prev, is_first}.
         state["is_first"] = jnp.ones((x.shape[0],), bool)
         return state
 
@@ -125,7 +169,6 @@ class CTCScorer(BaseScorerInterface):
 
     def score(self, inp_tokens, memory, candidates, attn):
         # inp_tokens are the tokens just consumed (last of prefix g)
-        last_tokens = jnp.where(memory["is_first"], -1, inp_tokens)
         scores, new_states = self._impl.forward_step(
             memory["is_first"], inp_tokens, candidates, memory
         )

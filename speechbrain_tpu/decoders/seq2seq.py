@@ -159,6 +159,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
         scorer=None,
         length_normalization=True,
         length_rewarding=0.0,
+        using_eos_threshold=True,
         eos_threshold=1.5,
         using_max_attn_shift=False,
         max_attn_shift=60,
@@ -176,6 +177,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
             raise ValueError(
                 "length normalization and length rewarding are exclusive"
             )
+        self.using_eos_threshold = using_eos_threshold
         self.eos_threshold = eos_threshold
         self.topk = topk
         self.temperature = temperature
@@ -284,13 +286,12 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     prev_tokens, scorer_mem, attn, log_probs, self.beam_size
                 )
             # eos threshold: block eos unless it is competitive
-            max_logp = jnp.max(log_probs, axis=-1)
-            eos_blocked = log_probs[:, self.eos_index] < (
-                self.eos_threshold * max_logp
-            )
-            eos_score = jnp.where(
-                eos_blocked, self.minus_inf, log_probs[:, self.eos_index]
-            )
+            # (disable with using_eos_threshold=False, ref seq2seq.py:851)
+            eos_score = log_probs[:, self.eos_index]
+            if self.using_eos_threshold:
+                max_logp = jnp.max(log_probs, axis=-1)
+                eos_blocked = eos_score < (self.eos_threshold * max_logp)
+                eos_score = jnp.where(eos_blocked, self.minus_inf, eos_score)
             eos_score = jnp.where(step < min_steps, self.minus_inf, eos_score)
             log_probs = log_probs.at[:, self.eos_index].set(eos_score)
 

@@ -13,39 +13,64 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speechbrain_tpu.nnet.CNN import Conv1d, ConvTranspose1d
+from speechbrain_tpu.nnet.CNN import Conv1d
 from speechbrain_tpu.nnet.linear import Linear
 
 
 def diffusion_step_embedding(t, dim=128):
-    """Sinusoidal embedding of the diffusion step (B,) -> (B, dim)."""
+    """Sinusoidal embedding of the diffusion step (B,) -> (B, dim), with
+    the reference's frequency table ``t * 10^(d * 4 / 63)`` for d in
+    [0, 64) (ref DiffWave.py:186-203 _build_embedding) — NOT the
+    transformer-style 1/10000^(d/half) table. Float steps interpolate
+    between the integer table rows exactly like the reference's
+    ``_lerp_embedding`` (ref :168)."""
     half = dim // 2
-    freqs = jnp.exp(
-        -math.log(10000.0) * jnp.arange(half) / (half - 1)
-    )
-    args = t[:, None].astype(jnp.float32) * freqs[None, :]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    freqs = 10.0 ** (jnp.arange(half) * 4.0 / (half - 1))
+
+    def table_row(step):
+        args = step[:, None].astype(jnp.float32) * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+    if jnp.issubdtype(jnp.asarray(t).dtype, jnp.integer):
+        return table_row(t)
+    low = jnp.floor(t)
+    high = jnp.ceil(t)
+    low_e, high_e = table_row(low), table_row(high)
+    return low_e + (high_e - low_e) * (t - low)[:, None]
 
 
 class SpectrogramUpsampler(nn.Module):
-    """2x ConvTranspose over time to reach the audio rate."""
+    """256x time upsampling of the mel conditioner: two 2-D transposed
+    convolutions with kernels (3, 32) over (mel, time), stride (1, 16),
+    padding (1, 8), leaky-relu(0.4) after each — the exact reference
+    topology (ref DiffWave.py:205-248) so published checkpoints pour 1:1.
 
-    stride1: int = 16
-    stride2: int = 16
+    Takes/returns feature-last layouts: (B, T_mel, M) -> (B, 256*T_mel, M).
+    Kernels are stored as (kH, kW, 1, 1) in (mel, time) spatial order;
+    the torch ConvTranspose2d weight (1, 1, 3, 32) pours with a
+    (2, 3, 0, 1) transpose (see utils/torch_convert.diffwave_key_map)."""
 
     @nn.compact
     def __call__(self, mel):
-        # mel (B, T, M) -> (B, T*stride1*stride2, M)
-        y = ConvTranspose1d(
-            out_channels=mel.shape[-1], kernel_size=2 * self.stride1,
-            stride=self.stride1, padding=self.stride1 // 2, name="up1",
-        )(mel)
-        y = jax.nn.leaky_relu(y, 0.4)
-        y = ConvTranspose1d(
-            out_channels=mel.shape[-1], kernel_size=2 * self.stride2,
-            stride=self.stride2, padding=self.stride2 // 2, name="up2",
-        )(y)
-        return jax.nn.leaky_relu(y, 0.4)
+        x = mel.transpose(0, 2, 1)[..., None]  # (B, M, T, 1)
+        for name in ("conv1", "conv2"):
+            w = self.param(
+                f"{name}_kernel", nn.initializers.lecun_normal(),
+                (3, 32, 1, 1),
+            )
+            b = self.param(f"{name}_bias", nn.initializers.zeros, (1,))
+            # torch ConvTranspose2d(stride=(1,16), padding=(1,8)) ==
+            # input dilated by stride, padded k-1-p per side, correlated
+            # with the spatially-flipped kernel
+            x = jax.lax.conv_general_dilated(
+                x, jnp.flip(w, axis=(0, 1)),
+                window_strides=(1, 1),
+                padding=[(1, 1), (23, 23)],
+                lhs_dilation=(1, 16),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+            x = jax.nn.leaky_relu(x, 0.4)
+        return x[..., 0].transpose(0, 2, 1)
 
 
 class ResidualBlock(nn.Module):
@@ -88,7 +113,6 @@ class DiffWave(nn.Module):
     dilation_cycle_length: int = 10
     total_steps: int = 50
     unconditional: bool = False
-    upsample_strides: tuple = (16, 16)
 
     @nn.compact
     def __call__(self, audio, diffusion_step, mel=None):
@@ -99,11 +123,7 @@ class DiffWave(nn.Module):
         emb = jax.nn.silu(Linear(512, name="emb2")(emb))
         conditioner = None
         if not self.unconditional and mel is not None:
-            conditioner = SpectrogramUpsampler(
-                stride1=self.upsample_strides[0],
-                stride2=self.upsample_strides[1],
-                name="upsampler",
-            )(mel)
+            conditioner = SpectrogramUpsampler(name="upsampler")(mel)
             conditioner = conditioner[:, : audio.shape[1], :]
         skips = None
         for i in range(self.residual_layers):

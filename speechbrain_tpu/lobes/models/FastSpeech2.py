@@ -27,22 +27,69 @@ from speechbrain_tpu.nnet.normalization import LayerNorm
 
 
 class VariancePredictor(nn.Module):
-    """2x (conv + relu + LN + dropout) + linear head
-    (reference FastSpeech2 variance predictor)."""
+    """2x (conv + relu + LN + dropout) + linear head (reference
+    DurationPredictor, FastSpeech2.py:169): relu(conv(x*mask)) -> LN ->
+    dropout, twice, then a 1-unit linear."""
 
     hidden_dim: int = 256
     kernel_size: int = 3
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, x_mask=None, train=False):
         for i in range(2):
-            x = Conv1d(self.hidden_dim, self.kernel_size, name=f"conv_{i}")(x)
+            xin = x if x_mask is None else x * x_mask
+            x = Conv1d(self.hidden_dim, self.kernel_size, name=f"conv_{i}")(xin)
             x = jax.nn.relu(x)
             x = LayerNorm(name=f"ln_{i}")(x)
             if train and self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=False)(x)
         return Linear(1, name="out")(x)[..., 0]
+
+
+def average_by_durations(values, durs):
+    """Frame-level values (B, T_de) -> per-token averages (B, T_en) over
+    duration segments (reference average_over_durations,
+    FastSpeech2.py:785): mean of the NONZERO frames in each segment.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> v = jnp.asarray([[2.0, 4.0, 6.0, 0.0]])
+    >>> average_by_durations(v, jnp.asarray([[2, 2]])).tolist()
+    [[3.0, 6.0]]
+    """
+    durs = jnp.asarray(durs, jnp.int32)
+    T_de = values.shape[1]
+    ends = jnp.clip(jnp.cumsum(durs, axis=1), 0, T_de)
+    starts = jnp.clip(ends - durs, 0, T_de)
+    cums = jnp.pad(jnp.cumsum(values, axis=1), ((0, 0), (1, 0)))
+    nz_cums = jnp.pad(
+        jnp.cumsum((values != 0.0).astype(values.dtype), axis=1),
+        ((0, 0), (1, 0)),
+    )
+    sums = jnp.take_along_axis(cums, ends, axis=1) - jnp.take_along_axis(
+        cums, starts, axis=1
+    )
+    nelems = jnp.take_along_axis(
+        nz_cums, ends, axis=1
+    ) - jnp.take_along_axis(nz_cums, starts, axis=1)
+    return jnp.where(nelems == 0.0, 0.0, sums / jnp.maximum(nelems, 1.0))
+
+
+def _head_major_key_mask(pad_mask, nhead):
+    """Replicate the reference FastSpeech2 attention-mask quirk (ref
+    forward:699-704, 756-761): the (B*nhead, T, T) mask is built with
+    ``repeat(nhead, 1, 1)`` — HEAD-major order — while torch's MHA
+    consumes batch-major (N, nhead, ...) blocks, so head h of batch b
+    actually applies the key-padding mask of batch ``(b*nhead + h) % B``.
+    Published checkpoints were trained under this behavior; pours must
+    reproduce it. Returns a (B, H, 1, T) bool mask (True = masked)."""
+    B = pad_mask.shape[0]
+    src = (
+        jnp.arange(B)[:, None] * nhead + jnp.arange(nhead)[None, :]
+    ) % B
+    return pad_mask[src][:, :, None, :]
 
 
 def length_regulate(x, durations, max_mel_len):
@@ -73,9 +120,16 @@ def length_regulate(x, durations, max_mel_len):
 
 
 class FastSpeech2(nn.Module):
-    """FastSpeech2 (reference FastSpeech2.py:390).
+    """FastSpeech2 (reference FastSpeech2.py:390), following the
+    reference computation graph exactly — embedding prenet, conv-FFN
+    ("1dcnn") FFT blocks, masked sequential variance adaptors operating
+    on duration-averaged frame-level pitch/energy, duration upsampling,
+    decoder FFT stack, mel linear and a LayerNorm conv postnet — so the
+    published tts-fastspeech2-ljspeech checkpoint pours 1:1
+    (utils/torch_convert.fastspeech2_key_map).
 
-    Call (tokens, durations, pitch, energy) at train time; ``infer`` uses
+    Teacher forcing: pass integer ``durations`` plus FRAME-level
+    ``pitch``/``energy`` (B, T_mel); inference (durations=None) uses the
     predicted variances.
 
     Example
@@ -85,7 +139,7 @@ class FastSpeech2(nn.Module):
     ...     enc_layers=1, dec_layers=1, n_mel_channels=8, max_mel_len=32)
     >>> tokens = jnp.ones((2, 6), dtype=jnp.int32)
     >>> durs = jnp.full((2, 6), 2)
-    >>> pitch = jnp.zeros((2, 6)); energy = jnp.zeros((2, 6))
+    >>> pitch = jnp.zeros((2, 12)); energy = jnp.zeros((2, 12))
     >>> v = net.init(jax.random.PRNGKey(0), tokens, durs, pitch, energy)
     >>> out = net.apply(v, tokens, durs, pitch, energy)
     >>> out["mel_post"].shape
@@ -101,8 +155,15 @@ class FastSpeech2(nn.Module):
     n_mel_channels: int = 80
     dropout: float = 0.1
     max_mel_len: int = 1000
-    pitch_bins: int = 256
-    energy_bins: int = 256
+    normalize_before: bool = False
+    ffn_type: str = "1dcnn"
+    ffn_cnn_kernel_size_list: tuple = (9, 1)
+    postnet_embedding_dim: int = 512
+    postnet_n_convolutions: int = 5
+    postnet_dropout: float = 0.5
+    padding_idx: int = 0
+    variance_kernel_size: int = 3
+    variance_dropout: float = 0.5
 
     def setup(self):
         self.emb = Embedding(
@@ -111,87 +172,144 @@ class FastSpeech2(nn.Module):
         self.pos_enc = PositionalEncoding(input_size=self.d_model, max_len=5000)
         self.encoder = TransformerEncoder(
             num_layers=self.enc_layers, nhead=self.nhead, d_ffn=self.d_ffn,
-            d_model=self.d_model, dropout=self.dropout, normalize_before=True,
+            d_model=self.d_model, dropout=self.dropout,
+            normalize_before=self.normalize_before, ffn_type=self.ffn_type,
+            ffn_cnn_kernel_size_list=self.ffn_cnn_kernel_size_list,
         )
         self.decoder = TransformerEncoder(
             num_layers=self.dec_layers, nhead=self.nhead, d_ffn=self.d_ffn,
-            d_model=self.d_model, dropout=self.dropout, normalize_before=True,
+            d_model=self.d_model, dropout=self.dropout,
+            normalize_before=self.normalize_before, ffn_type=self.ffn_type,
+            ffn_cnn_kernel_size_list=self.ffn_cnn_kernel_size_list,
         )
-        self.duration_predictor = VariancePredictor(hidden_dim=self.d_model // 2)
-        self.pitch_predictor = VariancePredictor(hidden_dim=self.d_model // 2)
-        self.energy_predictor = VariancePredictor(hidden_dim=self.d_model // 2)
-        self.pitch_embed = Conv1d(self.d_model, 1, name="pitch_embed")
-        self.energy_embed = Conv1d(self.d_model, 1, name="energy_embed")
+        vp = dict(
+            hidden_dim=self.d_model, kernel_size=self.variance_kernel_size,
+            dropout=self.variance_dropout,
+        )
+        self.duration_predictor = VariancePredictor(**vp)
+        self.pitch_predictor = VariancePredictor(**vp)
+        self.energy_predictor = VariancePredictor(**vp)
+        self.pitch_embed = Conv1d(
+            self.d_model, self.variance_kernel_size, name="pitch_embed"
+        )
+        self.energy_embed = Conv1d(
+            self.d_model, self.variance_kernel_size, name="energy_embed"
+        )
         self.mel_linear = Linear(self.n_mel_channels, name="mel_linear")
-        self.postnet = _PostNet(n_mel_channels=self.n_mel_channels)
+        self.postnet = _PostNet(
+            n_mel_channels=self.n_mel_channels,
+            hidden=self.postnet_embedding_dim,
+            n_convs=self.postnet_n_convolutions,
+            dropout=self.postnet_dropout,
+        )
 
-    def _encode(self, tokens, train):
+    def __call__(self, tokens, durations=None, pitch=None, energy=None,
+                 pace=1.0, pitch_rate=1.0, energy_rate=1.0, train=False):
+        pad_mask = tokens == self.padding_idx
+        x_mask = (~pad_mask)[..., None].astype(jnp.float32)
         x = self.emb(tokens)
-        x = x + self.pos_enc(x)
-        pad_mask = tokens == 0
-        x, _ = self.encoder(x, src_key_padding_mask=pad_mask, train=train)
-        return x, pad_mask
+        x = (x + self.pos_enc(x)) * x_mask
+        x, _ = self.encoder(
+            x, src_mask=_head_major_key_mask(pad_mask, self.nhead),
+            src_key_padding_mask=pad_mask, train=train,
+        )
+        x = x * x_mask
 
-    def _variances(self, x, pitch, energy, train):
-        pitch_pred = self.pitch_predictor(x, train=train)
-        energy_pred = self.energy_predictor(x, train=train)
-        pitch_in = pitch if pitch is not None else pitch_pred
-        energy_in = energy if energy is not None else energy_pred
-        x = x + self.pitch_embed(pitch_in[..., None])
-        x = x + self.energy_embed(energy_in[..., None])
-        return x, pitch_pred, energy_pred
+        log_dur_pred = self.duration_predictor(x, x_mask, train=train)
+        if durations is None:
+            durs_used = jnp.clip(jnp.expm1(log_dur_pred), 0, None)
+            durs_used = jnp.where(pad_mask, 0.0, durs_used)
+        else:
+            durs_used = durations
 
-    def _decode(self, x, train):
-        x = x + self.pos_enc(x)
-        y, _ = self.decoder(x, train=train)
-        mel = self.mel_linear(y)
-        mel_post = mel + self.postnet(mel, train=train)
-        return mel, mel_post
+        # sequential variance adaptors (ref forward:721-746): pitch is
+        # predicted and added BEFORE the energy predictor runs
+        pitch_pred = self.pitch_predictor(x, x_mask, train=train) * pitch_rate
+        avg_pitch = None
+        if pitch is not None:
+            avg_pitch = average_by_durations(pitch, durations)
+            x = x + self.pitch_embed(avg_pitch[..., None])
+        else:
+            x = x + self.pitch_embed(pitch_pred[..., None])
+        energy_pred = (
+            self.energy_predictor(x, x_mask, train=train) * energy_rate
+        )
+        avg_energy = None
+        if energy is not None:
+            avg_energy = average_by_durations(energy, durations)
+            x = x + self.energy_embed(avg_energy[..., None])
+        else:
+            x = x + self.energy_embed(energy_pred[..., None])
 
-    def __call__(self, tokens, durations, pitch=None, energy=None, train=False):
-        x, pad_mask = self._encode(tokens, train)
-        log_dur_pred = self.duration_predictor(x, train=train)
-        x, pitch_pred, energy_pred = self._variances(x, pitch, energy, train)
-        x, mel_lens = length_regulate(x, durations, self.max_mel_len)
-        mel, mel_post = self._decode(x, train)
+        # duration upsampling (ref upsample: repeat_interleave, floor at
+        # pace scaling) then the decoder FFT stack
+        int_durs = jnp.floor(pace * durs_used).astype(jnp.int32)
+        x, mel_lens = length_regulate(x, int_durs, self.max_mel_len)
+        y_pad = (
+            jnp.arange(x.shape[1])[None, :] >= mel_lens[:, None]
+        )
+        y_mask = (~y_pad)[..., None].astype(jnp.float32)
+        x = (x + self.pos_enc(x)) * y_mask
+        y, _ = self.decoder(
+            x, src_mask=_head_major_key_mask(y_pad, self.nhead),
+            src_key_padding_mask=y_pad, train=train,
+        )
+        mel = self.mel_linear(y) * y_mask
+        mel_post = self.postnet(mel, train=train) + mel
         return {
             "mel": mel,
             "mel_post": mel_post,
             "log_durations": log_dur_pred,
             "pitch": pitch_pred,
+            "avg_pitch": avg_pitch,
             "energy": energy_pred,
+            "avg_energy": avg_energy,
             "mel_lens": mel_lens,
         }
 
     def infer(self, tokens, pace=1.0, pitch_rate=1.0, energy_rate=1.0):
-        x, pad_mask = self._encode(tokens, train=False)
-        log_dur = self.duration_predictor(x, train=False)
-        durations = jnp.clip(
-            jnp.round((jnp.exp(log_dur) - 1.0) * pace), 0, None
-        ).astype(jnp.int32)
-        durations = jnp.where(pad_mask, 0, durations)
-        x, pitch_pred, energy_pred = self._variances(
-            x, None, None, train=False
+        out = self(
+            tokens, pace=pace, pitch_rate=pitch_rate,
+            energy_rate=energy_rate, train=False,
         )
-        x, mel_lens = length_regulate(x, durations, self.max_mel_len)
-        mel, mel_post = self._decode(x, train=False)
-        return mel_post, durations, pitch_pred, energy_pred, mel_lens
+        durations = jnp.floor(
+            pace * jnp.clip(jnp.expm1(out["log_durations"]), 0, None)
+        ).astype(jnp.int32)
+        return (
+            out["mel_post"], durations, out["pitch"], out["energy"],
+            out["mel_lens"],
+        )
 
 
 class _PostNet(nn.Module):
+    """Conv postnet with LayerNorms (reference PostNet,
+    FastSpeech2.py:79): conv_pre -> LN -> tanh -> dropout, a stack of
+    intermediate convs (no nonlinearity between them) -> LN -> tanh ->
+    dropout, conv_post -> LN -> dropout."""
+
     n_mel_channels: int = 80
-    hidden: int = 256
+    hidden: int = 512
     n_convs: int = 5
+    kernel_size: int = 5
+    dropout: float = 0.5
 
     @nn.compact
     def __call__(self, x, train=False):
-        from speechbrain_tpu.nnet.normalization import BatchNorm1d
+        def drop(x):
+            if train and self.dropout > 0:
+                return nn.Dropout(self.dropout, deterministic=False)(x)
+            return x
 
-        for i in range(self.n_convs - 1):
-            x = Conv1d(self.hidden, 5, name=f"conv_{i}")(x)
-            x = BatchNorm1d(name=f"bn_{i}")(x, train=train)
-            x = jnp.tanh(x)
-        return Conv1d(self.n_mel_channels, 5, name="conv_out")(x)
+        x = Conv1d(self.hidden, self.kernel_size, name="conv_pre")(x)
+        x = jnp.tanh(LayerNorm(name="ln1")(x))
+        x = drop(x)
+        for i in range(1, self.n_convs - 1):
+            x = Conv1d(self.hidden, self.kernel_size, name=f"conv_int_{i}")(x)
+        x = jnp.tanh(LayerNorm(name="ln2")(x))
+        x = drop(x)
+        x = Conv1d(self.n_mel_channels, self.kernel_size, name="conv_post")(x)
+        x = LayerNorm(name="ln3")(x)
+        return drop(x)
 
 
 class FastSpeech2Loss:
@@ -211,8 +329,16 @@ class FastSpeech2Loss:
         )
         log_dur_t = jnp.log(dur_t + 1.0)
         dur_loss = jnp.mean((predictions["log_durations"] - log_dur_t) ** 2)
-        pitch_loss = jnp.mean((predictions["pitch"] - targets["pitch"]) ** 2)
-        energy_loss = jnp.mean((predictions["energy"] - targets["energy"]) ** 2)
+        # the reference compares predictions against the duration-averaged
+        # token-level variances computed in forward (ref mse on avg_pitch)
+        pitch_t = predictions.get("avg_pitch")
+        if pitch_t is None:
+            pitch_t = targets["pitch"]
+        energy_t = predictions.get("avg_energy")
+        if energy_t is None:
+            energy_t = targets["energy"]
+        pitch_loss = jnp.mean((predictions["pitch"] - pitch_t) ** 2)
+        energy_loss = jnp.mean((predictions["energy"] - energy_t) ** 2)
         return mel_loss + dur_loss + pitch_loss + energy_loss
 
 

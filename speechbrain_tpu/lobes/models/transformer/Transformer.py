@@ -91,7 +91,11 @@ def _make_attention(attention_type, d_model, nhead, dropout):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """Self-attention + FFN with pre/post-norm (reference :472)."""
+    """Self-attention + FFN with pre/post-norm (reference :472).
+
+    ``ffn_type="1dcnn"`` replaces the linear FFN with two 1-D convs of
+    kernel sizes ``ffn_cnn_kernel_size_list`` (reference :402-418, used
+    by FastSpeech2's FFT blocks)."""
 
     d_ffn: int
     nhead: int
@@ -100,19 +104,36 @@ class TransformerEncoderLayer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     attention_type: str = "regularMHA"
+    ffn_type: str = "regularFFN"
+    ffn_cnn_kernel_size_list: tuple = (3, 3)
 
     @nn.compact
     def __call__(self, src, src_mask=None, src_key_padding_mask=None,
-                 pos_embs=None, train=False):
+                 pos_embs=None, train=False, cache=None, cache_index=None):
+        """Full-sequence encode, or KV-cached incremental decode of ONE
+        position when ``cache`` ({"self": {"k","v"}}) is given (causal
+        decoder-only stacks, e.g. TransformerLM shallow fusion): src is
+        (B, 1, D), the step's K/V are written at cache_index, and
+        self-attention runs over the cached prefix — O(L) per step.
+        Returns (out, new_cache) in cache mode."""
         attn = _make_attention(self.attention_type, self.d_model, self.nhead, self.dropout)
         if self.normalize_before:
             src1 = LayerNorm(name="norm1")(src)
         else:
             src1 = src
-        out, attn_w = attn(
-            src1, src1, src1, attn_mask=src_mask,
-            key_padding_mask=src_key_padding_mask, pos_embs=pos_embs, train=train,
-        )
+        new_cache = None
+        if cache is not None:
+            out, attn_w, self_cache = attn(
+                src1, src1, src1, cache=cache["self"],
+                cache_index=cache_index,
+            )
+            new_cache = {"self": self_cache}
+        else:
+            out, attn_w = attn(
+                src1, src1, src1, attn_mask=src_mask,
+                key_padding_mask=src_key_padding_mask, pos_embs=pos_embs,
+                train=train,
+            )
         if train and self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=False)(out)
         src = src + out
@@ -122,15 +143,30 @@ class TransformerEncoderLayer(nn.Module):
             src1 = LayerNorm(name="norm2")(src)
         else:
             src1 = src
-        out = PositionalwiseFeedForward(
-            d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation,
-            name="ffn",
-        )(src1, train=train)
+        if self.ffn_type == "1dcnn":
+            from speechbrain_tpu.nnet.CNN import Conv1d
+
+            out = Conv1d(
+                self.d_ffn, self.ffn_cnn_kernel_size_list[0],
+                name="ffn_conv1",
+            )(src1)
+            out = jax.nn.relu(out)
+            out = Conv1d(
+                self.d_model, self.ffn_cnn_kernel_size_list[1],
+                name="ffn_conv2",
+            )(out)
+        else:
+            out = PositionalwiseFeedForward(
+                d_ffn=self.d_ffn, dropout=self.dropout,
+                activation=self.activation, name="ffn",
+            )(src1, train=train)
         if train and self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=False)(out)
         src = src + out
         if not self.normalize_before:
             src = LayerNorm(name="norm2")(src)
+        if cache is not None:
+            return src, new_cache
         return src, attn_w
 
 
@@ -154,19 +190,22 @@ class TransformerEncoder(nn.Module):
     attention_type: str = "regularMHA"
     layerdrop_prob: float = 0.0
     remat: bool = False
+    ffn_type: str = "regularFFN"
+    ffn_cnn_kernel_size_list: tuple = (3, 3)
 
     @nn.compact
     def __call__(self, src, src_mask=None, src_key_padding_mask=None,
-                 pos_embs=None, train=False):
+                 pos_embs=None, train=False, cache=None, cache_index=None):
         output = src
         attns = []
+        new_cache = [] if cache is not None else None
         layer_cls = TransformerEncoderLayer
         if self.remat:
             layer_cls = nn.remat(
                 TransformerEncoderLayer, static_argnums=(5,)
             )
         for i in range(self.num_layers):
-            output, attn = layer_cls(
+            layer = layer_cls(
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
                 d_model=self.d_model,
@@ -174,13 +213,45 @@ class TransformerEncoder(nn.Module):
                 activation=self.activation,
                 normalize_before=self.normalize_before,
                 attention_type=self.attention_type,
+                ffn_type=self.ffn_type,
+                ffn_cnn_kernel_size_list=self.ffn_cnn_kernel_size_list,
                 name=f"layer_{i}",
-            )(output, src_mask, src_key_padding_mask, pos_embs, train)
-            attns.append(attn)
+            )
+            if cache is not None:
+                output, lc = layer(
+                    output, cache=cache[i], cache_index=cache_index
+                )
+                new_cache.append(lc)
+            else:
+                output, attn = layer(
+                    output, src_mask, src_key_padding_mask, pos_embs, train
+                )
+                attns.append(attn)
         # the reference applies the final eps-1e-6 norm UNCONDITIONALLY
         # (ref Transformer.py:104,169) — not only for pre-norm stacks
         output = LayerNorm(eps=1e-6, name="norm")(output)
+        if cache is not None:
+            return output, new_cache
         return output, attns
+
+    def init_cache(self, batch_size, max_len, dtype=jnp.float32):
+        """Explicit KV cache pytree for incremental (causal) decoding:
+        one {"self": {"k", "v"}} buffer of (B, max_len, H, hd) per
+        layer — the decoder-only/LM serving path."""
+        hd = self.d_model // self.nhead
+        return [
+            {
+                "self": {
+                    "k": jnp.zeros(
+                        (batch_size, max_len, self.nhead, hd), dtype
+                    ),
+                    "v": jnp.zeros(
+                        (batch_size, max_len, self.nhead, hd), dtype
+                    ),
+                }
+            }
+            for _ in range(self.num_layers)
+        ]
 
 
 class TransformerDecoderLayer(nn.Module):

@@ -233,10 +233,10 @@ class TransformerASR(nn.Module):
         )
         return out, cross_attns[-1]
 
-    def init_decoder_cache(self, batch_size, max_len):
+    def init_decoder_cache(self, batch_size, max_len, dtype=jnp.float32):
         """Explicit per-layer KV buffers for incremental decoding
         (decode_step); call via apply(..., method="init_decoder_cache")."""
-        return self.decoder.init_cache(batch_size, max_len)
+        return self.decoder.init_cache(batch_size, max_len, dtype)
 
     def decode_step(self, tgt_tokens, encoder_out, cache, step, enc_len=None):
         """KV-cached decode of ONE token: tgt_tokens (B,) int32 just

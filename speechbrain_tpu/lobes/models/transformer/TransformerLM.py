@@ -43,15 +43,17 @@ class TransformerLM(nn.Module):
     d_embedding: int = None
     attention_type: str = "regularMHA"
 
-    @nn.compact
-    def __call__(self, x, hx=None, train=False):
+    def setup(self):
         emb_dim = self.d_embedding or self.d_model
-        emb = NormalizedEmbedding(d_model=emb_dim, vocab=self.vocab, name="emb")(x)
-        if emb_dim != self.d_model:
-            emb = Linear(self.d_model, name="emb_proj")(emb)
-        emb = emb + PositionalEncoding(input_size=self.d_model, name="pos")(emb)
-        mask = get_lookahead_mask(x.shape[1])
-        out, _ = TransformerEncoder(
+        self.emb = NormalizedEmbedding(
+            d_model=emb_dim, vocab=self.vocab, name="emb"
+        )
+        self.emb_proj = (
+            Linear(self.d_model, name="emb_proj")
+            if emb_dim != self.d_model else None
+        )
+        self.pos = PositionalEncoding(input_size=self.d_model, name="pos")
+        self.encoder = TransformerEncoder(
             num_layers=self.num_encoder_layers,
             nhead=self.nhead,
             d_ffn=self.d_ffn,
@@ -61,6 +63,36 @@ class TransformerLM(nn.Module):
             normalize_before=self.normalize_before,
             attention_type=self.attention_type,
             name="encoder",
-        )(emb, src_mask=mask, train=train)
-        logits = Linear(self.vocab, name="out")(out)
-        return logits
+        )
+        self.out = Linear(self.vocab, name="out")
+
+    def _embed(self, x):
+        emb = self.emb(x)
+        if self.emb_proj is not None:
+            emb = self.emb_proj(emb)
+        return emb
+
+    def __call__(self, x, hx=None, train=False):
+        emb = self._embed(x)
+        emb = emb + self.pos(emb)
+        mask = get_lookahead_mask(x.shape[1])
+        out, _ = self.encoder(emb, src_mask=mask, train=train)
+        return self.out(out)
+
+    def init_cache(self, batch_size, max_len, dtype=jnp.float32):
+        """Per-layer KV buffers for incremental scoring (score_step);
+        call via apply(..., method="init_cache")."""
+        return self.encoder.init_cache(batch_size, max_len, dtype)
+
+    def score_step(self, tokens, cache, step):
+        """KV-cached scoring of ONE token: tokens (B,) int32 just
+        consumed -> (next-token logits (B, vocab), new_cache). O(step)
+        work per step vs the full-buffer forward's O(L^2) — the shallow-
+        fusion serving path inside jitted beam search (pairs with
+        decoders.scorer.KVTransformerLMScorer)."""
+        emb = self._embed(tokens[:, None])  # (B, 1, D)
+        L = cache[0]["self"]["k"].shape[1]
+        pe = self.pos(jnp.zeros((1, L, self.d_model), emb.dtype))
+        emb = emb + jax.lax.dynamic_slice_in_dim(pe, step, 1, axis=1)
+        out, new_cache = self.encoder(emb, cache=cache, cache_index=step)
+        return self.out(out[:, 0]), new_cache

@@ -209,8 +209,10 @@ def make_mask_bias(key_padding_mask=None, attn_mask=None, dtype=jnp.float32):
             a = jnp.where(attn_mask, NEG_INF, 0.0).astype(dtype)
         else:
             a = attn_mask.astype(dtype)
-        while a.ndim < 4:
-            a = a[None]
+        if a.ndim == 2:  # (Tq, Tk)
+            a = a[None, None]
+        elif a.ndim == 3:  # (B, Tq, Tk): batch-wise, broadcast over heads
+            a = a[:, None]
         bias = a if bias is None else bias + a
     return bias
 

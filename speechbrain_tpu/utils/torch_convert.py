@@ -486,6 +486,15 @@ def transformer_encoder_key_map(key):
     fused qkv (contiguous d-row blocks — torch's layout, unlike
     RelPosMHAXL's per-head fast path)."""
     k = re.sub(r"^layers\.(\d+)\.", r"layer_\1.", key)
+    # conv-FFN ("1dcnn") variant: 3-D conv kernels ride the generic
+    # (out, in, K) -> (K, in, out) layout pass, so return them BEFORE the
+    # generic .weight branch adds a 2-D (1, 0) perm
+    m = re.match(r"^(.*)\.pos_ffn\.(0|2)\.conv\.(weight|bias)$", k)
+    if m:
+        stem, idx, leaf = m.groups()
+        conv = "ffn_conv1" if idx == "0" else "ffn_conv2"
+        leaf = "kernel" if leaf == "weight" else "bias"
+        return "params/" + stem.replace(".", "/") + f"/{conv}/{leaf}"
     k = k.replace(".self_att.att.out_proj.",
                   ".MultiheadAttention_0.out_proj.")
     k = k.replace(".pos_ffn.ffn.0.", ".ffn.ffn1.")
@@ -718,6 +727,140 @@ def hifigan_generator_key_map(n_kernels):
         return None
 
     return key_map
+
+
+def fastspeech2_key_map(key):
+    """Reference FastSpeech2 (lobes/models/FastSpeech2.py:390) -> our
+    FastSpeech2: embedding prenet, conv-FFN FFT encoder/decoder (delegates
+    to :func:`transformer_encoder_key_map`; run the state through
+    :func:`split_torch_mha_inproj` first), masked variance predictors,
+    pitch/energy embeds, mel linear and the LayerNorm conv postnet."""
+    if key.endswith(".pe"):
+        return SKIP  # fixed sinusoid buffers; we compute them
+    if key == "encPreNet.token_embedding.Embedding.weight":
+        return "params/emb/embedding"  # (vocab, d): NO transpose
+    m = re.match(r"^(encoder|decoder)\.(.*)$", key)
+    if m:
+        which, inner = m.groups()
+        dst = transformer_encoder_key_map(inner)
+        if dst is None or dst is SKIP:
+            return dst
+        prefix = f"params/{which}/"
+        if isinstance(dst, tuple):
+            return (prefix + dst[0][len("params/"):], dst[1])
+        return prefix + dst[len("params/"):]
+    m = re.match(
+        r"^(durPred|pitchPred|energyPred)\.(conv1|conv2|ln1|ln2|linear)\."
+        r"(?:conv\.|norm\.|w\.)?(weight|bias)$", key,
+    )
+    if m:
+        which, part, leaf = m.groups()
+        ours = {
+            "durPred": "duration_predictor",
+            "pitchPred": "pitch_predictor",
+            "energyPred": "energy_predictor",
+        }[which]
+        if part in ("conv1", "conv2"):
+            sub = f"conv_{int(part[-1]) - 1}"
+            leaf = "kernel" if leaf == "weight" else "bias"
+            return f"params/{ours}/{sub}/{leaf}"
+        if part in ("ln1", "ln2"):
+            sub = f"ln_{int(part[-1]) - 1}/LayerNorm_0"
+            leaf = "scale" if leaf == "weight" else "bias"
+            return f"params/{ours}/{sub}/{leaf}"
+        if leaf == "weight":
+            return (f"params/{ours}/out/kernel", (1, 0))
+        return f"params/{ours}/out/bias"
+    m = re.match(r"^(pitchEmbed|energyEmbed)\.conv\.(weight|bias)$", key)
+    if m:
+        which, leaf = m.groups()
+        ours = "pitch_embed" if which == "pitchEmbed" else "energy_embed"
+        leaf = "kernel" if leaf == "weight" else "bias"
+        return f"params/{ours}/{leaf}"
+    m = re.match(r"^linear\.w\.(weight|bias)$", key)
+    if m:
+        if m.group(1) == "weight":
+            return ("params/mel_linear/kernel", (1, 0))
+        return "params/mel_linear/bias"
+    m = re.match(r"^postnet\.conv_pre\.conv\.(weight|bias)$", key)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return f"params/postnet/conv_pre/{leaf}"
+    m = re.match(
+        r"^postnet\.convs_intermediate\.(\d+)\.conv\.(weight|bias)$", key
+    )
+    if m:
+        i, leaf = int(m.group(1)), m.group(2)
+        leaf = "kernel" if leaf == "weight" else "bias"
+        return f"params/postnet/conv_int_{i + 1}/{leaf}"
+    m = re.match(r"^postnet\.conv_post\.conv\.(weight|bias)$", key)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return f"params/postnet/conv_post/{leaf}"
+    m = re.match(r"^postnet\.ln(\d)\.(weight|bias)$", key)
+    if m:
+        i, leaf = m.groups()
+        leaf = "scale" if leaf == "weight" else "bias"
+        return f"params/postnet/ln{i}/LayerNorm_0/{leaf}"
+    return None
+
+
+def diffwave_key_map(key):
+    """Reference DiffWave (lobes/models/DiffWave.py:357) -> our DiffWave.
+    The 2-D upsampler ConvTranspose2d weights (1, 1, 3, 32) land on our
+    (3, 32, 1, 1) kernels with an explicit (2, 3, 0, 1) perm (transposed
+    convs keep (in, out, kH, kW) in torch, defeating the generic 4-D
+    layout pass)."""
+    m = re.match(r"^diffusion_embedding\.projection(\d)\.w\.(weight|bias)$",
+                 key)
+    if m:
+        i, leaf = m.groups()
+        dst = f"params/emb{i}/" + ("kernel" if leaf == "weight" else "bias")
+        return (dst, (1, 0)) if leaf == "weight" else dst
+    m = re.match(r"^spectrogram_upsampler\.conv(\d)\.(weight|bias)$", key)
+    if m:
+        i, leaf = m.groups()
+        if leaf == "weight":
+            return (f"params/upsampler/conv{i}_kernel", (2, 3, 0, 1))
+        return f"params/upsampler/conv{i}_bias"
+    m = re.match(
+        r"^residual_layers\.(\d+)\.(dilated_conv|conditioner_projection|"
+        r"output_projection)\.conv\.(weight|bias)$", key,
+    )
+    if m:
+        i, which, leaf = m.groups()
+        ours = {
+            "dilated_conv": "dilated",
+            "conditioner_projection": "cond",
+            "output_projection": "out",
+        }[which]
+        leaf = "kernel" if leaf == "weight" else "bias"
+        return f"params/res_{i}/{ours}/{leaf}"
+    m = re.match(
+        r"^residual_layers\.(\d+)\.diffusion_projection\.w\.(weight|bias)$",
+        key,
+    )
+    if m:
+        i, leaf = m.groups()
+        if leaf == "weight":
+            return (f"params/res_{i}/step_proj/kernel", (1, 0))
+        return f"params/res_{i}/step_proj/bias"
+    m = re.match(
+        r"^(input_projection|skip_projection|output_projection)\.conv\."
+        r"(weight|bias)$", key,
+    )
+    if m:
+        which, leaf = m.groups()
+        ours = {
+            "input_projection": "in_proj",
+            "skip_projection": "skip_proj",
+            "output_projection": "out_proj",
+        }[which]
+        leaf = "kernel" if leaf == "weight" else "bias"
+        return f"params/{ours}/{leaf}"
+    if key == "diffusion_embedding.embedding":
+        return SKIP  # fixed sinusoid table; we compute it
+    return None
 
 
 def merge_lstmcell_biases(state):
@@ -1054,6 +1197,8 @@ _POUR_REGISTRY = {
         [merge_lstm_biases, merge_lstmcell_biases],
         lambda m: tacotron2_key_map,
     ),
+    "DiffWave": ([], lambda m: diffwave_key_map),
+    "FastSpeech2": ([split_torch_mha_inproj], lambda m: fastspeech2_key_map),
 }
 
 

@@ -852,3 +852,136 @@ def test_resnet_torch_checkpoint_pours_to_output_parity(tmp_path):
     np.testing.assert_allclose(
         out.reshape(tout.shape), tout, atol=5e-4, rtol=5e-4
     )
+
+
+def test_diffwave_torch_checkpoint_pours_to_output_parity(tmp_path):
+    """DiffWave denoiser pour (ref DiffWave.py:357) including the 2-D
+    ConvTranspose2d(k=(3,32)) spectrogram upsampler and the reference's
+    10^(d*4/63) diffusion-step embedding table — the
+    tts-diffwave-ljspeech vocoder checkpoint path."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.DiffWave import DiffWave as TorchDiffWave
+
+    n_mels, C, layers = 8, 8, 2
+    tm = TorchDiffWave(
+        input_channels=n_mels, residual_layers=layers, residual_channels=C,
+        dilation_cycle_length=2, total_steps=50, unconditional=False,
+    ).eval()
+    rng = np.random.default_rng(17)
+    audio = rng.standard_normal((2, 1, 512)).astype(np.float32)
+    mel = rng.standard_normal((2, n_mels, 2)).astype(np.float32)
+    t = np.asarray([3, 7])
+    with torch.no_grad():
+        tout = tm(
+            torch.from_numpy(audio), torch.from_numpy(t),
+            torch.from_numpy(mel),
+        ).numpy()
+    ckpt = tmp_path / "diffwave.ckpt"
+    torch.save(tm.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.DiffWave import DiffWave
+    from speechbrain_tpu.utils.torch_convert import (
+        pour_reference_checkpoint,
+    )
+
+    jm = DiffWave(
+        residual_layers=layers, residual_channels=C,
+        dilation_cycle_length=2, total_steps=50, unconditional=False,
+    )
+    jx = jnp.asarray(audio[:, 0, :])
+    jmel = jnp.asarray(mel.transpose(0, 2, 1))  # ours (B, T_mel, M)
+    jt = jnp.asarray(t, jnp.int32)
+    variables = jm.init(jax.random.PRNGKey(0), jx, jt, jmel)
+    poured = pour_reference_checkpoint(jm, variables, str(ckpt))
+    out = np.asarray(jm.apply(poured, jx, jt, jmel))
+    np.testing.assert_allclose(out, tout[:, 0, :], atol=5e-4, rtol=5e-4)
+
+
+def test_fastspeech2_torch_checkpoint_pours_to_output_parity(tmp_path):
+    """FastSpeech2 teacher-forced pour (ref FastSpeech2.py:390) with the
+    conv-FFN ("1dcnn") FFT blocks, masked sequential variance adaptors
+    and LayerNorm postnet — the tts-fastspeech2-ljspeech checkpoint
+    path."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.FastSpeech2 import (
+        FastSpeech2 as TorchFastSpeech2,
+    )
+
+    d, layers, n_mels = 32, 2, 8
+    tm = TorchFastSpeech2(
+        enc_num_layers=layers, enc_num_head=4, enc_d_model=d,
+        enc_ffn_dim=64, enc_k_dim=d, enc_v_dim=d, enc_dropout=0.0,
+        dec_num_layers=layers, dec_num_head=4, dec_d_model=d,
+        dec_ffn_dim=64, dec_k_dim=d, dec_v_dim=d, dec_dropout=0.0,
+        normalize_before=False, ffn_type="1dcnn",
+        ffn_cnn_kernel_size_list=[9, 1], n_char=30, n_mels=n_mels,
+        postnet_embedding_dim=16, postnet_kernel_size=5,
+        postnet_n_convolutions=5, postnet_dropout=0.0, padding_idx=0,
+        dur_pred_kernel_size=3, pitch_pred_kernel_size=3,
+        energy_pred_kernel_size=3, variance_predictor_dropout=0.0,
+    ).eval()
+    rng = np.random.default_rng(18)
+    tokens = rng.integers(1, 30, (2, 6))
+    durs = rng.integers(1, 4, (2, 6))
+    T_de = int(durs.sum(axis=1).max())
+    pitch = rng.standard_normal((2, T_de)).astype(np.float32)
+    energy = rng.standard_normal((2, T_de)).astype(np.float32)
+    with torch.no_grad():
+        (t_mel, t_post, t_dur, t_pitch, t_avg_pitch, t_energy,
+         t_avg_energy, t_lens) = tm(
+            torch.from_numpy(tokens), durations=torch.from_numpy(durs),
+            pitch=torch.from_numpy(pitch), energy=torch.from_numpy(energy),
+        )
+    ckpt = tmp_path / "fastspeech2.ckpt"
+    torch.save(tm.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.FastSpeech2 import FastSpeech2
+    from speechbrain_tpu.utils.torch_convert import (
+        pour_reference_checkpoint,
+    )
+
+    jm = FastSpeech2(
+        n_symbols=30, d_model=d, nhead=4, d_ffn=64, enc_layers=layers,
+        dec_layers=layers, n_mel_channels=n_mels, dropout=0.0,
+        max_mel_len=T_de, normalize_before=False, ffn_type="1dcnn",
+        ffn_cnn_kernel_size_list=(9, 1), postnet_embedding_dim=16,
+        variance_dropout=0.0,
+    )
+    jt = jnp.asarray(tokens, jnp.int32)
+    jd = jnp.asarray(durs, jnp.int32)
+    variables = jm.init(
+        jax.random.PRNGKey(0), jt, jd, jnp.asarray(pitch),
+        jnp.asarray(energy),
+    )
+    poured = pour_reference_checkpoint(jm, variables, str(ckpt))
+    out = jm.apply(poured, jt, jd, jnp.asarray(pitch), jnp.asarray(energy))
+    # compare over each utterance's valid mel frames (padding conventions
+    # differ: ours repeats the last frame, torch zero-pads)
+    for b, L in enumerate(np.asarray(out["mel_lens"])):
+        L = min(int(L), t_mel.shape[1])
+        np.testing.assert_allclose(
+            np.asarray(out["mel"][b, :L]), t_mel[b, :L].numpy(),
+            atol=5e-4, rtol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["mel_post"][b, :L]), t_post[b, :L].numpy(),
+            atol=5e-4, rtol=5e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["log_durations"]), t_dur.numpy(), atol=5e-4,
+        rtol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pitch"]), t_pitch[..., 0].numpy(), atol=5e-4,
+        rtol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["avg_energy"]), t_avg_energy[..., 0].numpy(),
+        atol=5e-4, rtol=5e-4,
+    )

@@ -75,8 +75,10 @@ def test_fastspeech2_forward_and_infer():
     )
     tokens = jnp.ones((2, 6), dtype=jnp.int32)
     durs = jnp.full((2, 6), 2)
-    pitch = jnp.zeros((2, 6))
-    energy = jnp.zeros((2, 6))
+    # pitch/energy are FRAME-level (B, T_mel), averaged over durations
+    # inside forward (reference semantics)
+    pitch = jnp.zeros((2, 12))
+    energy = jnp.zeros((2, 12))
     v = net.init(KEY, tokens, durs, pitch, energy)
     out = net.apply(v, tokens, durs, pitch, energy)
     assert out["mel_post"].shape == (2, 32, 8)
