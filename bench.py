@@ -16,10 +16,19 @@ Flags:
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeat driver runs skip the multi-
+# minute TPU compile of the beam-search program
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+
+def _progress(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 SR = 16000
 N_MELS = 80
@@ -436,17 +445,24 @@ def bench_northstar(bf16=True):
     )
     lens = jnp.ones((C["batch"],))
     rng = jax.random.PRNGKey(0)
-    feats = fbank(wavs)
-    v_fe = frontend.init(rng, feats, train=False)
-    sub = frontend.apply(v_fe, feats, train=False)
+    # jit every init/probe: eager init of conformer-large + the LM would
+    # dispatch thousands of individual ops through the axon tunnel
+    _progress("initializing models (jitted)...")
+    feats = jax.jit(fbank.__call__)(wavs)
+    v_fe = jax.jit(functools.partial(frontend.init, train=False))(rng, feats)
+    sub = jax.jit(functools.partial(frontend.apply, train=False))(v_fe, feats)
     sub, lens_p = pad_time_to_multiple(sub, lens, multiple=128)
     tokens0 = jnp.zeros((C["batch"], 3), jnp.int32)
-    v = net.init(rng, sub, tokens0)
-    enc0 = net.apply(v, sub, method="encode")
-    v_ctc = ctc_lin.init(rng, enc0)
-    dec0, _ = net.apply(v, tokens0, enc0, method="decode")
-    v_seq = seq_lin.init(rng, dec0)
-    v_lm = lm.init(rng, tokens0)
+    v = jax.jit(net.init)(rng, sub, tokens0)
+    enc0 = jax.jit(functools.partial(net.apply, method="encode"))(v, sub)
+    v_ctc = jax.jit(ctc_lin.init)(rng, enc0)
+    dec0, _ = jax.jit(functools.partial(net.apply, method="decode"))(
+        v, tokens0, enc0
+    )
+    v_seq = jax.jit(seq_lin.init)(rng, dec0)
+    v_lm = jax.jit(lm.init)(rng, tokens0)
+    jax.block_until_ready(v_lm)
+    _progress("init done")
     if bf16:
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
@@ -515,7 +531,12 @@ def bench_northstar(bf16=True):
         jax.block_until_ready(enc)
         return searcher(enc, lens_p)
 
+    _progress(f"devices: {jax.devices()}")
+    _progress("compiling encoder...")
+    jax.block_until_ready(encode_j(wavs, lens))
+    _progress("encoder done; compiling+running beam search...")
     transcribe(wavs, lens)  # compile + run
+    _progress("beam search compiled; timing...")
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):

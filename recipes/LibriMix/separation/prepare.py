@@ -9,7 +9,8 @@ from pathlib import Path
 import numpy as np
 
 
-def prepare_synthetic(data_folder, n_utt=8, sample_rate=8000, seconds=1.0):
+def prepare_synthetic(data_folder, n_utt=8, sample_rate=8000, seconds=1.0,
+                      num_spks=2):
     root = Path(data_folder)
     root.mkdir(parents=True, exist_ok=True)
     from speechbrain_tpu.dataio.dataio import write_audio
@@ -19,19 +20,26 @@ def prepare_synthetic(data_folder, n_utt=8, sample_rate=8000, seconds=1.0):
     entries = {"train": {}, "valid": {}}
     t = np.arange(T) / sample_rate
     for i in range(n_utt):
-        f1, f2 = rng.uniform(200, 400), rng.uniform(500, 900)
-        s1 = np.sin(2 * np.pi * f1 * t).astype(np.float32)
-        s2 = (0.6 * np.sign(np.sin(2 * np.pi * f2 * t))).astype(np.float32)
-        mix = s1 + s2
+        srcs = []
+        for s in range(num_spks):
+            f = rng.uniform(200 + 250 * s, 400 + 250 * s)
+            amp = 1.0 - 0.3 * s
+            srcs.append(
+                (amp * np.sin(2 * np.pi * f * t + s)).astype(np.float32)
+            )
+        mix = np.sum(srcs, axis=0)
         paths = {}
-        for name, sig in (("mix", mix), ("s1", s1), ("s2", s2)):
+        for name, sig in [("mix", mix)] + [
+            (f"s{s + 1}", srcs[s]) for s in range(num_spks)
+        ]:
             p = root / f"u{i}_{name}.wav"
             write_audio(str(p), sig, sample_rate)
             paths[name] = str(p)
         split = "valid" if i >= n_utt - 2 else "train"
         entries[split][f"u{i}"] = {
-            "mix_wav": paths["mix"], "s1_wav": paths["s1"],
-            "s2_wav": paths["s2"], "length": T,
+            "mix_wav": paths["mix"], "length": T,
+            **{f"s{s + 1}_wav": paths[f"s{s + 1}"]
+               for s in range(num_spks)},
         }
     for split, items in entries.items():
         with open(root / f"{split}.json", "w") as f:

@@ -27,9 +27,10 @@ class Separation(sb.Brain):
         return est, state
 
     def compute_objectives(self, est, batch, stage):
-        s1, _ = batch["s1_sig"]
-        s2, _ = batch["s2_sig"]
-        sources = jnp.stack([s1, s2], axis=-1)
+        sources = jnp.stack(
+            [batch[f"s{i + 1}_sig"][0]
+             for i in range(self.hparams.num_spks)], axis=-1,
+        )
         return jnp.mean(get_si_snr_with_pitwrapper(sources, est))
 
     def init_forward(self, rng, eb):
@@ -60,9 +61,13 @@ def dataio_prepare(hparams):
             hparams[key], replacements={"data_root": hparams["data_folder"]}
         )
         ds.add_dynamic_item(read_audio, takes="mix_wav", provides="mix_sig")
-        ds.add_dynamic_item(read_audio, takes="s1_wav", provides="s1_sig")
-        ds.add_dynamic_item(read_audio, takes="s2_wav", provides="s2_sig")
-        ds.set_output_keys(["id", "mix_sig", "s1_sig", "s2_sig"])
+        spk_keys = []
+        for i in range(hparams["num_spks"]):
+            ds.add_dynamic_item(
+                read_audio, takes=f"s{i + 1}_wav", provides=f"s{i + 1}_sig"
+            )
+            spk_keys.append(f"s{i + 1}_sig")
+        ds.set_output_keys(["id", "mix_sig"] + spk_keys)
         datasets[split] = ds
     return datasets
 
@@ -82,7 +87,9 @@ if __name__ == "__main__":
         sys.path.insert(0, str(Path(__file__).parent))
         from prepare import prepare_synthetic
 
-        prepare_synthetic(hparams["data_folder"])
+        prepare_synthetic(
+            hparams["data_folder"], num_spks=hparams["num_spks"]
+        )
     datasets = dataio_prepare(hparams)
     brain = Separation(
         modules=hparams["modules"],

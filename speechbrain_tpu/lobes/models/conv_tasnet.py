@@ -190,3 +190,49 @@ class Decoder(nn.Module):
         est = overlap_and_add(frames.reshape(Bsz * C, K, L), self.L // 2)
         est = est.reshape(Bsz, C, -1)
         return jnp.moveaxis(est, 1, 2)  # (B, T, C)
+
+
+class ConvTasNetWrapper(nn.Module):
+    """Encoder + MaskNet + Decoder, end-to-end waveform separation with
+    the same (mix (B, T)) -> (est (B, T, num_spks)) surface as
+    SepformerWrapper (the ConvTasNet recipe composition; reference
+    recipes/WSJ0Mix/separation/train.py wires the three modules the same
+    way).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> model = ConvTasNetWrapper(L=16, N=8, B=4, H=8, P=3, X=2, R=1,
+    ...                           num_spks=2)
+    >>> x = jnp.ones((1, 800))
+    >>> v = model.init(jax.random.PRNGKey(0), x, train=False)
+    >>> model.apply(v, x, train=False).shape
+    (1, 800, 2)
+    """
+
+    L: int = 16
+    N: int = 512
+    B: int = 128
+    H: int = 512
+    P: int = 3
+    X: int = 8
+    R: int = 3
+    num_spks: int = 2
+    norm_type: str = "gLN"
+    causal: bool = False
+    mask_nonlinear: str = "relu"
+
+    @nn.compact
+    def __call__(self, mix, train=False):
+        T_origin = mix.shape[1]
+        w = Encoder(L=self.L, N=self.N, name="encoder")(mix)
+        masks = MaskNet(
+            N=self.N, B=self.B, H=self.H, P=self.P, X=self.X, R=self.R,
+            C=self.num_spks, norm_type=self.norm_type, causal=self.causal,
+            mask_nonlinear=self.mask_nonlinear, name="masknet",
+        )(w)
+        est = Decoder(L=self.L, N=self.N, name="decoder")(w, masks)
+        T_est = est.shape[1]
+        if T_est >= T_origin:
+            return est[:, :T_origin]
+        return jnp.pad(est, ((0, 0), (0, T_origin - T_est), (0, 0)))

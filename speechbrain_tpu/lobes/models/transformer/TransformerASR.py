@@ -121,6 +121,21 @@ class TransformerASR(nn.Module):
                 remat=self.encoder_remat,
                 name="encoder",
             )
+        elif self.encoder_module == "branchformer":
+            from speechbrain_tpu.lobes.models.Branchformer import (
+                BranchformerEncoder,
+            )
+
+            self.encoder = BranchformerEncoder(
+                num_layers=self.num_encoder_layers,
+                d_model=self.d_model,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                attention_type=self.attention_type,
+                csgu_linear_units=self.d_ffn,
+                dropout=self.dropout,
+                name="encoder",
+            )
         else:
             self.encoder = TransformerEncoder(
                 num_layers=self.num_encoder_layers,
@@ -172,13 +187,17 @@ class TransformerASR(nn.Module):
         )
         enc_out, _ = self.encoder(
             src,
-            src_mask=src_mask,
             src_key_padding_mask=src_key_padding_mask,
             pos_embs=pos_embs,
             **(
                 {"dynchunktrain_config": dynchunktrain_config}
                 if self.encoder_module == "conformer"
                 else {}
+            ),
+            # branchformer layers have no src_mask surface (full-context)
+            **(
+                {} if self.encoder_module == "branchformer"
+                else {"src_mask": src_mask}
             ),
             train=train,
         )
@@ -274,13 +293,16 @@ class TransformerASR(nn.Module):
         )
         enc_out, _ = self.encoder(
             src_proj,
-            src_mask=src_mask,
             src_key_padding_mask=src_key_padding_mask,
             pos_embs=pos_embs,
             **(
                 {"dynchunktrain_config": dynchunktrain_config}
                 if self.encoder_module == "conformer"
                 else {}
+            ),
+            **(
+                {} if self.encoder_module == "branchformer"
+                else {"src_mask": src_mask}
             ),
             train=train,
         )

@@ -39,17 +39,24 @@ class W2VLatentExtractor(nn.Module):
     @nn.compact
     def __call__(self, x, normalize_signal=True):
         if normalize_signal:
+            # reference: parameter-free F.layer_norm over the time axis
             mean = jnp.mean(x, axis=1, keepdims=True)
-            std = jnp.std(x, axis=1, keepdims=True)
-            x = (x - mean) / jnp.maximum(std, 1e-5)
+            var = jnp.var(x, axis=1, keepdims=True)
+            x = (x - mean) / jnp.sqrt(var + 1e-5)
         y = x[..., None]
         for i, (c, k, s) in enumerate(
             zip(self.out_channels, self.kernel_sizes, self.strides)
         ):
-            y = Conv1d(c, k, stride=s, padding="valid", name=f"conv_{i}")(y)
+            # bias-free convs + LN + erf-GELU, matching the reference's
+            # ConvolutionFrontEnd(conv_bias=False, norm=LayerNorm,
+            # activation=nn.GELU) stack (ref wav2vec.py:70-87)
+            y = Conv1d(
+                c, k, stride=s, padding="valid", bias=False,
+                name=f"conv_{i}",
+            )(y)
             y = LayerNorm(name=f"norm_{i}")(y)
-            y = jax.nn.gelu(y)
-        return y
+            y = jax.nn.gelu(y, approximate=False)
+        return nn.LayerNorm(name="norm")(y)
 
 
 class W2VTargetQuantiser(nn.Module):

@@ -691,7 +691,12 @@ def fuse_weight_norm(state):
             )
         else:
             continue
-        axes = tuple(range(1, v.ndim))
+        # infer the weight_norm dim from g's shape: the non-1 axis (all
+        # axes otherwise); dim=0 for regular convs, dim=2 for BEATs'
+        # pos_conv (ref beats.py:665 weight_norm(..., dim=2))
+        axes = tuple(i for i in range(v.ndim) if g.shape[i] == 1) or tuple(
+            range(1, v.ndim)
+        )
         norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
         out[stem + ".weight"] = g * v / np.maximum(norm, 1e-12)
     return out
@@ -727,6 +732,97 @@ def hifigan_generator_key_map(n_kernels):
         return None
 
     return key_map
+
+
+def w2v_latent_key_map(key):
+    """Reference W2VLatentExtractor (lobes/models/wav2vec.py:26) -> our
+    W2VLatentExtractor: the ConvolutionFrontEnd blocks flatten to
+    conv_{i}/norm_{i} plus the trailing plain LayerNorm."""
+    m = re.match(
+        r"^extractor\.convblock_(\d+)\.convs\.conv_0\.conv\.weight$", key
+    )
+    if m:
+        return f"params/conv_{m.group(1)}/kernel"
+    m = re.match(
+        r"^extractor\.convblock_(\d+)\.convs\.norm_0\.norm\.(weight|bias)$",
+        key,
+    )
+    if m:
+        i, leaf = m.groups()
+        leaf = "scale" if leaf == "weight" else "bias"
+        return f"params/norm_{i}/LayerNorm_0/{leaf}"
+    m = re.match(r"^norm\.(weight|bias)$", key)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return f"params/norm/{leaf}"
+    return None
+
+
+def beats_key_map(key):
+    """Reference BEATs (lobes/models/beats.py:30) -> our BEATs. Run the
+    state through :func:`fuse_weight_norm` first (pos_conv is weight-norm
+    parametrized with dim=2). Only layer 0's relative_attention_bias is
+    ever used (the pos_bias is computed once and passed down the stack,
+    ref extract_features:819-831); later layers' tables are dropped."""
+    if key == "patch_embedding.weight":
+        # torch Conv2d (out, in, H, W) -> flax (H, W, in, out); spatial
+        # dims are square so the perm must be explicit
+        return ("params/patch_embedding/kernel", (2, 3, 1, 0))
+    m = re.match(r"^layer_norm\.(weight|bias)$", key)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return f"params/layer_norm/{leaf}"
+    m = re.match(r"^(post_extract_proj|predictor)\.(weight|bias)$", key)
+    if m:
+        which, leaf = m.groups()
+        if leaf == "weight":
+            return (f"params/{which}/kernel", (1, 0))
+        return f"params/{which}/bias"
+    m = re.match(r"^encoder\.pos_conv\.0\.(weight|bias)$", key)
+    if m:
+        if m.group(1) == "weight":
+            return ("params/pos_conv/kernel", (2, 1, 0))
+        return "params/pos_conv/bias"
+    m = re.match(r"^encoder\.layer_norm\.(weight|bias)$", key)
+    if m:
+        leaf = "scale" if m.group(1) == "weight" else "bias"
+        return f"params/encoder_layer_norm/{leaf}"
+    m = re.match(
+        r"^encoder\.layers\.(\d+)\.self_attn\.relative_attention_bias\."
+        r"weight$", key,
+    )
+    if m:
+        if int(m.group(1)) == 0:
+            return "params/rel_bias/embedding"
+        return SKIP  # unused beyond layer 0 (shared pos_bias)
+    m = re.match(
+        r"^encoder\.layers\.(\d+)\.self_attn\.grep_a$", key
+    )
+    if m:
+        return f"params/layer_{m.group(1)}/self_attn/grep_a"
+    m = re.match(
+        r"^encoder\.layers\.(\d+)\.self_attn\."
+        r"(q_proj|k_proj|v_proj|out_proj|grep_linear)\.(weight|bias)$", key,
+    )
+    if m:
+        i, which, leaf = m.groups()
+        if leaf == "weight":
+            return (f"params/layer_{i}/self_attn/{which}/kernel", (1, 0))
+        return f"params/layer_{i}/self_attn/{which}/bias"
+    m = re.match(
+        r"^encoder\.layers\.(\d+)\.(self_attn_layer_norm|final_layer_norm|"
+        r"fc1|fc2)\.(weight|bias)$", key,
+    )
+    if m:
+        i, which, leaf = m.groups()
+        if which in ("fc1", "fc2"):
+            if leaf == "weight":
+                return (f"params/layer_{i}/{which}/kernel", (1, 0))
+            return f"params/layer_{i}/{which}/bias"
+        ln = "ln1" if which == "self_attn_layer_norm" else "ln2"
+        leaf = "scale" if leaf == "weight" else "bias"
+        return f"params/layer_{i}/{ln}/{leaf}"
+    return None
 
 
 def fastspeech2_key_map(key):
@@ -1199,6 +1295,8 @@ _POUR_REGISTRY = {
     ),
     "DiffWave": ([], lambda m: diffwave_key_map),
     "FastSpeech2": ([split_torch_mha_inproj], lambda m: fastspeech2_key_map),
+    "BEATs": ([fuse_weight_norm], lambda m: beats_key_map),
+    "W2VLatentExtractor": ([], lambda m: w2v_latent_key_map),
 }
 
 

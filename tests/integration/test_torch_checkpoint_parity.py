@@ -985,3 +985,113 @@ def test_fastspeech2_torch_checkpoint_pours_to_output_parity(tmp_path):
         np.asarray(out["avg_energy"]), t_avg_energy[..., 0].numpy(),
         atol=5e-4, rtol=5e-4,
     )
+
+
+def test_beats_torch_checkpoint_pours_to_output_parity(tmp_path):
+    """BEATs encoder pour (ref beats.py:30): patch embedding, grouped
+    pos_conv (weight-norm dim=2), deep-norm post-norm layers and the
+    shared gated relative position bias. Both sides consume an identical
+    precomputed fbank grid (the Kaldi frontend is validated separately)."""
+    _import_reference_ecapa()
+    if "torchaudio.compliance" not in sys.modules:
+        comp = types.ModuleType("torchaudio.compliance")
+        kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+        kaldi.fbank = lambda *a, **k: None
+        comp.kaldi = kaldi
+        sys.modules["torchaudio"].compliance = comp
+        sys.modules["torchaudio.compliance"] = comp
+        sys.modules["torchaudio.compliance.kaldi"] = kaldi
+    import speechbrain.lobes.models.beats as rb
+
+    tiny = dict(
+        input_patch_size=16, embed_dim=16, encoder_layers=2,
+        encoder_embed_dim=24, encoder_ffn_embed_dim=48,
+        encoder_attention_heads=4, conv_pos=8, conv_pos_groups=4,
+        deep_norm=True, layer_norm_first=False,
+        relative_position_embedding=True, gru_rel_pos=True,
+        num_buckets=32, max_distance=60, dropout=0.0, dropout_input=0.0,
+        attention_dropout=0.0, activation_dropout=0.0,
+        encoder_layerdrop=0.0, finetuned_model=False,
+    )
+    orig_cfg = rb.BEATsConfig
+
+    class TinyCfg(orig_cfg):
+        def __init__(self, cfg=None):
+            super().__init__(cfg)
+            self.update(tiny)
+
+    rb.BEATsConfig = TinyCfg
+    try:
+        tm = rb.BEATs(ckp_path=None, freeze=False).eval()
+    finally:
+        rb.BEATsConfig = orig_cfg
+    rng = np.random.default_rng(19)
+    fbank = rng.standard_normal((2, 32, 128)).astype(np.float32)
+    tm.preprocess = (
+        lambda wav, fbank_mean=0.0, fbank_std=0.0: torch.from_numpy(fbank)
+    )
+    wav = torch.zeros(2, 16000)
+    with torch.no_grad():
+        (tout,) = tm.extract_features(wav, torch.ones(2))
+    ckpt = tmp_path / "beats.ckpt"
+    torch.save(tm.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.beats import BEATs
+    from speechbrain_tpu.utils.torch_convert import (
+        pour_reference_checkpoint,
+    )
+
+    jm = BEATs(
+        input_patch_size=16, embed_dim=16, encoder_embed_dim=24,
+        encoder_layers=2, encoder_ffn_embed_dim=48,
+        encoder_attention_heads=4, conv_pos=8, conv_pos_groups=4,
+        num_buckets=32, max_distance=60, gru_rel_pos=True, deep_norm=True,
+        dropout=0.0,
+    )
+    jfb = jnp.asarray(fbank)
+    variables = jm.init(jax.random.PRNGKey(0), jfb, method="encode_fbank")
+    poured = pour_reference_checkpoint(jm, variables, str(ckpt))
+    out = np.asarray(jm.apply(poured, jfb, method="encode_fbank"))
+    np.testing.assert_allclose(out, tout.numpy(), atol=5e-4, rtol=5e-4)
+
+
+def test_w2v_latent_extractor_torch_checkpoint_pours_to_output_parity(
+    tmp_path,
+):
+    """SB-native wav2vec2 SSL latent extractor pour (ref wav2vec.py:26):
+    bias-free strided conv + LayerNorm + erf-GELU stack, signal layer
+    norm, and the trailing LayerNorm."""
+    _import_reference_ecapa()
+    from speechbrain.lobes.models.wav2vec import (
+        W2VLatentExtractor as TorchExtractor,
+    )
+
+    tm = TorchExtractor(
+        out_channels=[8, 8, 8], kernel_sizes=[11, 3, 3], strides=[5, 2, 2]
+    ).eval()
+    rng = np.random.default_rng(20)
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(x)).numpy()
+    ckpt = tmp_path / "w2v_latent.ckpt"
+    torch.save(tm.state_dict(), ckpt)
+
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.wav2vec import W2VLatentExtractor
+    from speechbrain_tpu.utils.torch_convert import (
+        pour_reference_checkpoint,
+    )
+
+    jm = W2VLatentExtractor(
+        out_channels=(8, 8, 8), kernel_sizes=(11, 3, 3), strides=(5, 2, 2)
+    )
+    jx = jnp.asarray(x)
+    variables = jm.init(jax.random.PRNGKey(0), jx)
+    poured = pour_reference_checkpoint(jm, variables, str(ckpt))
+    out = np.asarray(jm.apply(poured, jx))
+    np.testing.assert_allclose(out, tout, atol=5e-4, rtol=5e-4)

@@ -175,7 +175,7 @@ def test_beats_features_and_tagging():
     model = BEATs(input_patch_size=4, embed_dim=16, encoder_embed_dim=24,
                   encoder_layers=2, encoder_ffn_embed_dim=32,
                   encoder_attention_heads=4, num_buckets=16,
-                  max_distance=32)
+                  max_distance=32, conv_pos=8, conv_pos_groups=4)
     wav = jax.random.normal(jax.random.PRNGKey(0), (2, 4000))
     lens = jnp.asarray([1.0, 0.5])
     v = model.init(jax.random.PRNGKey(1), wav, lens)
@@ -185,7 +185,8 @@ def test_beats_features_and_tagging():
     tagger = BEATs(input_patch_size=4, embed_dim=16, encoder_embed_dim=24,
                    encoder_layers=1, encoder_ffn_embed_dim=32,
                    encoder_attention_heads=4, num_buckets=16,
-                   max_distance=32, predictor_class=7)
+                   max_distance=32, predictor_class=7, conv_pos=8,
+                   conv_pos_groups=4)
     v_t = tagger.init(jax.random.PRNGKey(2), wav, lens)
     probs = tagger.apply(v_t, wav, lens)
     assert probs.shape == (2, 7)
