@@ -448,7 +448,9 @@ def bench_northstar(bf16=True):
     # jit every init/probe: eager init of conformer-large + the LM would
     # dispatch thousands of individual ops through the axon tunnel
     _progress("initializing models (jitted)...")
-    feats = jax.jit(fbank.__call__)(wavs)
+    # fbank stays eager here: STFT memoizes its DFT matrices on first
+    # call, and a jitted first call would cache leaked tracers
+    feats = fbank(wavs)
     v_fe = jax.jit(functools.partial(frontend.init, train=False))(rng, feats)
     sub = jax.jit(functools.partial(frontend.apply, train=False))(v_fe, feats)
     sub, lens_p = pad_time_to_multiple(sub, lens, multiple=128)
