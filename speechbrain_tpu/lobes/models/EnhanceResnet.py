@@ -9,7 +9,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from speechbrain_tpu.lobes.models.ResNet import SEBasicBlock
+from speechbrain_tpu.lobes.models.ResNet import PreActBlock
 from speechbrain_tpu.nnet.CNN import Conv2d
 from speechbrain_tpu.nnet.linear import Linear
 
@@ -37,7 +37,9 @@ class EnhanceResnet(nn.Module):
         y = x[..., None]
         for s, ch in enumerate(self.channels):
             for b in range(self.blocks_per_stage):
-                y = SEBasicBlock(planes=ch, name=f"block_{s}_{b}")(y, train=train)
+                y = PreActBlock(
+                    out_channels=ch, use_se=True, name=f"block_{s}_{b}"
+                )(y, train=train)
         y = Conv2d(1, (1, 1), name="proj")(y)[..., 0]
         mask = jax.nn.sigmoid(Linear(n_freq, name="mask")(y))
         return mask
