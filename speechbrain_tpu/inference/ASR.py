@@ -193,9 +193,14 @@ class WhisperASR(Pretrained):
             lang = f"<|{code}|>"
         return self._special_id(lang)
 
-    def _prompt_ids(self, language=None, task=None):
-        """[sot (+lang +task) +notimestamps], dropping ids the tokenizer
-        doesn't know (English-only checkpoints have no lang/task tokens)."""
+    def _prompt_ids(self, language=None, task=None, prompt_tokens=None,
+                    max_attn_tokens=448):
+        """[(<|startofprev|> + clipped prompt) + sot (+lang +task)
+        +notimestamps], dropping ids the tokenizer doesn't know
+        (English-only checkpoints have no lang/task tokens). The prompt
+        prefix follows the reference's conditioning rule (ref
+        seq2seq.py:560-572): previous-text tokens clipped to
+        ``max_attn_tokens // 2 - 1``."""
         ids = [self._special_id("<|startoftranscript|>")]
         lang_id = self._language_token(
             language or getattr(self.hparams, "language", None)
@@ -209,7 +214,15 @@ class WhisperASR(Pretrained):
         nots = self._special_id("<|notimestamps|>")
         if nots is not None:
             ids.append(nots)
-        return [i for i in ids if i is not None]
+        ids = [i for i in ids if i is not None]
+        if prompt_tokens:
+            prev = self._special_id("<|startofprev|>")
+            if prev is not None:
+                clip = max_attn_tokens // 2 - 1
+                ids = [prev] + [
+                    int(t) for t in prompt_tokens[-clip:]
+                ] + ids
+        return ids
 
     def _suppress_ids(self):
         """Timestamp + non-speech special tokens blocked during decoding
@@ -228,14 +241,15 @@ class WhisperASR(Pretrained):
                 sup.append(tid)
         return sorted(set(sup))
 
-    def _make_searcher(self, language=None, task=None):
+    def _make_searcher(self, language=None, task=None, prompt_tokens=None):
         from speechbrain_tpu.decoders.seq2seq import (
             S2SWhisperBeamSearcher,
             S2SWhisperGreedySearcher,
         )
 
         whisper = self.hparams.whisper
-        prompt = self._prompt_ids(language, task)
+        prompt = self._prompt_ids(language, task,
+                                  prompt_tokens=prompt_tokens)
         eos = int(self._tok().eos_token_id)
         beam_size = int(getattr(self.hparams, "beam_size", 1) or 1)
         max_gen = int(getattr(self.hparams, "max_gen_tokens", 224))
@@ -252,15 +266,23 @@ class WhisperASR(Pretrained):
         """Whisper encoder states for padded audio."""
         return self.hparams.whisper.forward_encoder(jnp.asarray(wavs))
 
-    def detect_language(self, wavs):
-        """Most likely language token per utterance (reference
-        ASR.py:520): one decoder step from <|startoftranscript|>,
-        restricted to language tokens. Returns (codes, ids)."""
-        tok = self._tok()
-        enc = self.encode_batch(wavs)
+    def _sot_logits(self, enc):
+        """First-position decoder logits from <|startoftranscript|> over
+        PRECOMPUTED encoder states — shared by language detection and
+        no-speech probability so serving never re-runs the encoder."""
         sot = self._special_id("<|startoftranscript|>")
         buf = jnp.full((enc.shape[0], 1), sot, jnp.int32)
-        logits = self.hparams.whisper.forward_decoder(enc, buf)[:, 0]
+        return self.hparams.whisper.forward_decoder(enc, buf)[:, 0]
+
+    def detect_language(self, wavs=None, enc=None):
+        """Most likely language token per utterance (reference
+        ASR.py:520): one decoder step from <|startoftranscript|>,
+        restricted to language tokens. Returns (codes, ids). Pass
+        ``enc`` to reuse already-computed encoder states."""
+        tok = self._tok()
+        if enc is None:
+            enc = self.encode_batch(wavs)
+        logits = self._sot_logits(enc)
         lang_ids = [
             self._special_id(f"<|{c}|>") for c in _WHISPER_LANG_CODES.values()
         ]
@@ -272,18 +294,20 @@ class WhisperASR(Pretrained):
         ids = [int(lang_ids[int(b)]) for b in np.asarray(best)]
         return [tok.convert_ids_to_tokens(i) for i in ids], ids
 
-    def transcribe_batch(self, wavs, wav_lens=None, language=None,
-                         task=None):
-        """On-device decode; returns (texts, token id lists)."""
+    def _decode_encoded(self, enc, lens, language=None, task=None,
+                        prompt_tokens=None):
+        """Run the jitted searcher over precomputed encoder states.
+        Searchers are memoized per (language, task, prompt) — a changed
+        conditioning prompt changes the decode buffer length and thus
+        the compiled program."""
         tok = self._tok()
-        key = (language, task)
+        key = (language, task,
+               tuple(prompt_tokens) if prompt_tokens else None)
         if key not in self._searchers:
-            self._searchers[key] = self._make_searcher(language, task)
+            self._searchers[key] = self._make_searcher(
+                language, task, prompt_tokens
+            )
         searcher = self._searchers[key]
-        enc = self.encode_batch(wavs, wav_lens)
-        lens = jnp.ones((enc.shape[0],)) if wav_lens is None else jnp.asarray(
-            wav_lens
-        )
         hyps, _lens, scores, _ = searcher(enc, lens)
         self._last_scores = np.asarray(scores)
         texts = [
@@ -291,17 +315,54 @@ class WhisperASR(Pretrained):
         ]
         return texts, hyps
 
-    def transcribe_file(self, path, **kwargs):
-        """Chunk a long file into 30 s segments and transcribe each,
-        filling the reference's segment metadata (avg_log_probs,
-        no_speech_prob, detected lang_id when no language is forced)."""
-        import numpy as np
+    def transcribe_batch(self, wavs, wav_lens=None, language=None,
+                         task=None):
+        """On-device decode; returns (texts, token id lists)."""
+        enc = self.encode_batch(wavs, wav_lens)
+        lens = jnp.ones((enc.shape[0],)) if wav_lens is None else jnp.asarray(
+            wav_lens
+        )
+        return self._decode_encoded(enc, lens, language, task)
 
-        audio = np.asarray(self.load_audio(path))
-        n = int(self.CHUNK_S * self.SAMPLE_RATE)
-        segments = []
+    def transcribe_file_streaming(self, path, task=None,
+                                  initial_prompt=None,
+                                  logprob_threshold=-1.0,
+                                  no_speech_threshold=0.6,
+                                  condition_on_previous_text=False,
+                                  chunk_size=None, **kwargs):
+        """Long-form transcription: split the file into ``chunk_size``-s
+        windows and yield one :class:`ASRWhisperSegment` per window with
+        the reference's semantics (ref inference/ASR.py:624-787):
+
+        * optional ``initial_prompt`` and, with
+          ``condition_on_previous_text``, the previous windows' tokens
+          are fed back as a ``<|startofprev|>`` conditioning prefix;
+        * windows whose no-speech probability exceeds
+          ``no_speech_threshold`` are skipped (unless the decode's
+          average log-prob beats ``logprob_threshold``);
+        * language is detected per window when not forced.
+
+        The encoder runs ONCE per window; language id, no-speech
+        probability and the decode all reuse its output."""
+        audio = np.asarray(self.load_audio(path, **{
+            k: v for k, v in kwargs.items()
+            if k not in ("language",)
+        }))
+        chunk_s = float(chunk_size or self.CHUNK_S)
+        n = int(chunk_s * self.SAMPLE_RATE)
         forced_lang = kwargs.get("language") or getattr(
             self.hparams, "language", None
+        )
+        tok = self._tok()
+        all_tokens = []
+        if initial_prompt:
+            all_tokens.extend(
+                tok.encode(" " + initial_prompt.strip(),
+                           add_special_tokens=False)
+            )
+        prompt_reset_since = 0
+        nospeech_id = self._special_id("<|nospeech|>") or self._special_id(
+            "<|nocaptions|>"
         )
         for s in range(0, max(len(audio), 1), n):
             chunk = audio[s : s + n]
@@ -310,43 +371,55 @@ class WhisperASR(Pretrained):
                 end=min(s + n, len(audio)) / self.SAMPLE_RATE,
                 chunk=chunk,
             )
+            enc = self.encode_batch(chunk[None])
+            sot_logits = self._sot_logits(enc)
             if forced_lang is None:
                 try:
-                    codes, _ = self.detect_language(chunk[None])
+                    codes, _ = self.detect_language(enc=enc)
                     seg.lang_id = codes[0]
                 except Exception:
                     seg.lang_id = None
             else:
                 seg.lang_id = forced_lang
-            texts, tokens = self.transcribe_batch(chunk[None], **kwargs)
+            if nospeech_id is not None:
+                probs = jax.nn.softmax(sot_logits, axis=-1)
+                seg.no_speech_prob = float(probs[0, nospeech_id])
+            prompt = all_tokens[prompt_reset_since:]
+            lens = jnp.ones((1,))
+            texts, tokens = self._decode_encoded(
+                enc, lens, seg.lang_id if forced_lang is None
+                else forced_lang, task, prompt_tokens=prompt or None,
+            )
+            seg.prompt = prompt
+            avg_lp = float(
+                self._last_scores[0] / max(1, len(tokens[0]) + 1)
+            )
+            seg.avg_log_probs = avg_lp
+            should_skip = (
+                no_speech_threshold is not None
+                and seg.no_speech_prob is not None
+                and seg.no_speech_prob > no_speech_threshold
+                and not (
+                    logprob_threshold is not None
+                    and avg_lp > logprob_threshold
+                )
+            )
+            if should_skip:
+                seg.words = ""
+                seg.tokens = []
+                yield seg
+                continue
             seg.words = texts[0]
             seg.tokens = tokens[0]
-            seg.prompt = self._prompt_ids(
-                seg.lang_id if forced_lang is None else forced_lang,
-                kwargs.get("task"),
-            )
-            if self._last_scores is not None:
-                seg.avg_log_probs = float(
-                    self._last_scores[0] / max(1, len(tokens[0]) + 1)
-                )
-            seg.no_speech_prob = self._no_speech_prob(chunk[None])
-            segments.append(seg)
-        return segments
+            yield seg
+            all_tokens.extend(tokens[0])
+            if not condition_on_previous_text:
+                prompt_reset_since = len(all_tokens)
 
-    def _no_speech_prob(self, wavs):
-        """P(<|nospeech|>) at the first decode position (reference
-        ASR.py no_speech detection); None if the token doesn't exist."""
-        tid = self._special_id("<|nospeech|>") or self._special_id(
-            "<|nocaptions|>"
-        )
-        if tid is None:
-            return None
-        sot = self._special_id("<|startoftranscript|>")
-        enc = self.encode_batch(wavs)
-        buf = jnp.full((enc.shape[0], 1), sot, jnp.int32)
-        logits = self.hparams.whisper.forward_decoder(enc, buf)[:, 0]
-        probs = jax.nn.softmax(logits, axis=-1)
-        return float(probs[0, tid])
+    def transcribe_file(self, path, **kwargs):
+        """Long-form transcription of a file into a list of
+        :class:`ASRWhisperSegment` (reference ASR.py:790)."""
+        return list(self.transcribe_file_streaming(path, **kwargs))
 
 
 class SpeechLLMGreedySearcher:
