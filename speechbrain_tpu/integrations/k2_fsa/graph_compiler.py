@@ -85,16 +85,14 @@ class CtcGraphCompiler(GraphCompiler):
             lens[i] = len(s) / max(U, 1)
         return jnp.asarray(tgt), jnp.asarray(lens)
 
-    def compile_HLG(self, G_arpa=None):
-        """Full HLG graph composition requires the k2 library."""
-        try:
-            import k2  # noqa: F401
-        except ImportError:
-            raise ImportError(
-                "HLG composition requires k2, which is not installed; CTC "
-                "training works without it via compile(), and first-pass "
-                "decoding via speechbrain_tpu.decoders.ctc."
-            )
-        raise NotImplementedError(
-            "k2-backed HLG composition is not wired up in this build."
+    def compile_HLG(self, G_lm=None, semiring="max"):
+        """Eps-free HLG decoding graph via the native FSA toolkit
+        (lattice_decoder.compile_HLG; the reference builds this with k2,
+        graph_compiler.py:98). ``G_lm`` is an optional word n-gram LM
+        (lm.ngram.BackoffNgramLM-style)."""
+        from speechbrain_tpu.integrations.k2_fsa.lattice_decoder import (
+            compile_HLG,
         )
+
+        graph, _ = compile_HLG(self._lexicon, G_lm, semiring=semiring)
+        return graph
