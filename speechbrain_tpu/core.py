@@ -84,6 +84,7 @@ class RunOptions:
     grad_accumulation_factor: int = 1
     optimizer_step_limit: int = None  # stop after N optimizer updates
     nonfinite_patience: int = 3
+    loss_sync_interval: int = 1  # sync loss/nonfinite counters every N steps
     ckpt_interval_minutes: float = 0.0
     ckpt_interval_steps: int = 0
     noprogressbar: bool = False
@@ -279,6 +280,7 @@ class Brain:
         self.optimizer_step = 0  # global optimizer updates
         self._micro_step = 0  # micro-batches seen (for grad accumulation)
         self._pending_loss = None  # one-step-delayed loss sync
+        self._loss_accum = None  # device-side (sum, n, nonfinite) window
         self.avg_train_loss = 0.0
         self._compiled_train_step = None
         self._compiled_eval_step = None
@@ -742,10 +744,60 @@ class Brain:
         if should_step:
             self.optimizer_step += 1
         self.on_fit_batch_end(batch, metrics, loss, should_step)
+        k = max(1, getattr(self.run_opts, "loss_sync_interval", 1))
+        if k > 1:
+            # device-side loss/nonfinite accumulation: NO host round-trip
+            # until every k-th step (beyond-reference; the torch reference
+            # syncs every step, core.py:855-884)
+            if self._loss_accum is None:
+                z = jnp.zeros(())
+                self._loss_accum = (z, z, z)
+            self._loss_accum = self._accum_loss(
+                self._loss_accum, loss, finite
+            )
+            if self._micro_step % k == 0:
+                return self._drain_loss_accum()
+            return None
         pending, self._pending_loss = self._pending_loss, loss
         if pending is None:
             return None
         return self._host_loss(pending)
+
+    @staticmethod
+    @jax.jit
+    def _accum_loss(acc, loss, finite):
+        s, n, bad = acc
+        ok = jnp.asarray(finite, jnp.float32)
+        lf = jnp.asarray(loss, jnp.float32)
+        return (
+            s + jnp.where(ok > 0, lf, 0.0),
+            n + ok,
+            bad + (1.0 - ok),
+        )
+
+    def _drain_loss_accum(self):
+        """ONE host sync for the accumulated (sum, count, nonfinite)
+        triple; applies the nonfinite-patience policy in bulk. Returns
+        (mean_loss, n) or None."""
+        if self._loss_accum is None:
+            return None
+        s, n, bad = (float(x) for x in jax.device_get(self._loss_accum))
+        self._loss_accum = None
+        if bad:
+            self.nonfinite_count += int(bad)
+            logger.warning(
+                "%d nonfinite loss step(s) in the last window; updates "
+                "skipped (patience %d/%d).",
+                int(bad), self.nonfinite_count,
+                self.run_opts.nonfinite_patience,
+            )
+            if self.nonfinite_count > self.run_opts.nonfinite_patience:
+                raise ValueError(
+                    "Loss is not finite and patience is exhausted."
+                )
+        if n < 1:
+            return None
+        return (s / n, int(n))
 
     def _host_loss(self, loss):
         """Device->host loss sync + nonfinite patience (reference
@@ -874,6 +926,7 @@ class Brain:
         self.nonfinite_count = 0
         self._loss_count = 0
         self._pending_loss = None
+        self._loss_accum = None
         last_log_time = time.time()
         profiler_on = False
         t = _progress(train_set, enable, f"Epoch {epoch} TRAIN")
@@ -893,9 +946,10 @@ class Brain:
             self.on_fit_batch_start(batch)
             loss = self.fit_batch(batch)
             if loss is not None:
-                self._loss_count += 1
-                self.avg_train_loss = self._update_average_n(
-                    loss, self.avg_train_loss, self._loss_count
+                mean, n = loss if isinstance(loss, tuple) else (loss, 1)
+                self._loss_count += n
+                self.avg_train_loss += (
+                    n * (mean - self.avg_train_loss) / self._loss_count
                 )
             if hasattr(t, "set_postfix"):
                 t.set_postfix(train_loss=self.avg_train_loss)
@@ -910,10 +964,13 @@ class Brain:
                 self._save_intra_epoch_ckpt()
             del batch
         loss = self._flush_pending_loss()
+        if loss is None:
+            loss = self._drain_loss_accum()
         if loss is not None:
-            self._loss_count += 1
-            self.avg_train_loss = self._update_average_n(
-                loss, self.avg_train_loss, self._loss_count
+            mean, n = loss if isinstance(loss, tuple) else (loss, 1)
+            self._loss_count += n
+            self.avg_train_loss += (
+                n * (mean - self.avg_train_loss) / self._loss_count
             )
         if profiler_on:
             jax.profiler.stop_trace()
