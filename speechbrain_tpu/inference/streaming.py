@@ -102,11 +102,41 @@ class StreamingASR(Pretrained):
                 texts.append("")
         return texts
 
-    def transcribe_file_streaming(self, path, dynchunktrain_config, **kwargs):
-        """Yield transcribed text increments for a file
-        (reference ASR.py:1070)."""
-        audio = np.asarray(self.load_audio(path))
+    def transcribe_stream(self, chunks, dynchunktrain_config):
+        """Yield transcribed text increments for ANY iterator of 1-D
+        waveform chunks (live sources included): short/tail chunks are
+        zero-padded to the streaming chunk size. This is the native
+        surface for the reference's ffmpeg chunk stream
+        (ref ASR.py:1016 _get_audio_stream)."""
         chunk_size = self.get_chunk_size_frames(dynchunktrain_config)
+        context = self.make_streaming_context(dynchunktrain_config)
+        carry = np.zeros((0,), np.float32)
+        for chunk in chunks:
+            carry = np.concatenate([carry, np.asarray(chunk, np.float32)])
+            while len(carry) >= chunk_size:
+                words = self.transcribe_chunk(context, carry[:chunk_size])
+                carry = carry[chunk_size:]
+                yield words[0]
+        if len(carry):
+            tail = np.pad(carry, (0, chunk_size - len(carry)))
+            yield self.transcribe_chunk(context, tail)[0]
+
+    def transcribe_file_streaming(self, path, dynchunktrain_config,
+                                  use_ffmpeg_streaming=False, **kwargs):
+        """Yield transcribed text increments for a file or stream URI
+        (reference ASR.py:1070). With ``use_ffmpeg_streaming`` the URI is
+        resolved through an ffmpeg subprocess (any format/protocol
+        ffmpeg can read, incl. live sources) instead of loading the
+        whole file up front."""
+        chunk_size = self.get_chunk_size_frames(dynchunktrain_config)
+        if use_ffmpeg_streaming:
+            src = ffmpeg_audio_stream(
+                path, chunk_size,
+                sample_rate=getattr(self.hparams, "sample_rate", 16000),
+            )
+            yield from self.transcribe_stream(src, dynchunktrain_config)
+            return
+        audio = np.asarray(self.load_audio(path))
         context = self.make_streaming_context(dynchunktrain_config)
         n_chunks = -(-len(audio) // chunk_size)
         pad = n_chunks * chunk_size - len(audio)
@@ -131,3 +161,54 @@ class StreamingASR(Pretrained):
             self.transcribe_file_streaming(path, dynchunktrain_config)
         )
         return "".join(pieces).strip()
+
+
+def pcm_stream(fileobj, frames_per_chunk, dtype="<f4"):
+    """Iterate mono PCM waveform chunks from any binary file-like object
+    (socket, pipe, open file): the building block for live sources.
+    Yields float32 arrays of up to ``frames_per_chunk`` samples."""
+    itemsize = np.dtype(dtype).itemsize
+    want = frames_per_chunk * itemsize
+    buf = b""
+    while True:
+        data = fileobj.read(want - len(buf))
+        if not data:
+            break
+        buf += data
+        if len(buf) >= want:
+            yield np.frombuffer(buf[:want], dtype=dtype).astype(np.float32)
+            buf = buf[want:]
+    if buf:
+        n = len(buf) // itemsize * itemsize
+        if n:
+            yield np.frombuffer(buf[:n], dtype=dtype).astype(np.float32)
+
+
+def ffmpeg_audio_stream(uri, frames_per_chunk, sample_rate=16000):
+    """Decode ANY uri/format/protocol ffmpeg understands (files, rtmp/
+    http streams, capture devices) into mono float32 chunks at
+    ``sample_rate`` — the native analogue of the reference's
+    ``torchaudio.io.StreamReader`` source (ref inference/ASR.py:1016).
+    Requires the ``ffmpeg`` binary on PATH."""
+    import shutil as _shutil
+    import subprocess
+
+    if _shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "ffmpeg binary not found on PATH; live-stream sources need "
+            "it. File transcription works without it via "
+            "transcribe_file_streaming(use_ffmpeg_streaming=False)."
+        )
+    proc = subprocess.Popen(
+        [
+            "ffmpeg", "-nostdin", "-loglevel", "error", "-i", str(uri),
+            "-f", "f32le", "-acodec", "pcm_f32le", "-ac", "1",
+            "-ar", str(sample_rate), "pipe:1",
+        ],
+        stdout=subprocess.PIPE,
+    )
+    try:
+        yield from pcm_stream(proc.stdout, frames_per_chunk)
+    finally:
+        proc.stdout.close()
+        proc.wait()
