@@ -517,8 +517,10 @@ def bench_northstar(bf16=True):
     )
     searcher = S2SKVBeamSearcher(
         decode_step_fn,
+        # precomputed cross-attention K/V: decode steps never re-project
+        # the static encoder memory
         lambda n, e, l: net.apply(
-            v, n, max_steps + 1, method="init_decoder_cache",
+            v, e, max_steps + 1, method="init_decoder_cache_with_cross",
             dtype=jnp.bfloat16 if bf16 else jnp.float32,
         ),
         bos_index=C["bos"], eos_index=C["eos"], min_decode_ratio=0.0,

@@ -698,6 +698,30 @@ class _KVDecodeMixin:
     def reset_mem(self, batch_size, enc_states, enc_lens):
         return self.init_cache_fn(batch_size, enc_states, enc_lens)
 
+    def permute_mem(self, memory, index):
+        """Predecessor gather of the per-hypothesis cache — EXCEPT any
+        per-layer "cross" entries (precomputed cross-attention K/V of
+        the static encoder memory): those are identical across the beams
+        of one utterance, and predecessors only permute within an
+        utterance, so gathering hundreds of MB of encoder K/V per step
+        would be pure waste."""
+        if isinstance(memory, (list, tuple)) and all(
+            isinstance(layer, dict) for layer in memory
+        ):
+            return [
+                {
+                    k: (
+                        v if k == "cross"
+                        else jax.tree_util.tree_map(
+                            lambda t: jnp.take(t, index, axis=0), v
+                        )
+                    )
+                    for k, v in layer.items()
+                }
+                for layer in memory
+            ]
+        return super().permute_mem(memory, index)
+
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens, step):
         log_probs, new_cache, attn = self.decode_step_fn(
             inp_tokens, memory, enc_states, enc_lens, step

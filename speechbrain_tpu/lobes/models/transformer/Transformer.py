@@ -275,12 +275,16 @@ class TransformerDecoderLayer(nn.Module):
         (B, 1, D), the step's projected K/V are written at cache_index,
         and self-attention runs over the cached prefix — O(L) per step.
         Returns (out, new_cache, cross_w) in cache mode."""
-        self_attn = _make_attention(
-            self.attention_type, self.d_model, self.nhead, self.dropout
-        )
         cross_attn = MultiheadAttention(
             nhead=self.nhead, d_model=self.d_model, dropout=self.dropout,
             name="cross_attn",
+        )
+        if cache is not None and cache == "precompute_cross_kv":
+            # serving path: project the (static) encoder memory's K/V
+            # ONCE; decode steps then reuse them via cache["cross"]
+            return cross_attn(memory, memory, memory, return_kv_only=True)
+        self_attn = _make_attention(
+            self.attention_type, self.d_model, self.nhead, self.dropout
         )
         if self.normalize_before:
             tgt1 = LayerNorm(name="norm1")(tgt)
@@ -293,6 +297,8 @@ class TransformerDecoderLayer(nn.Module):
                 cache_index=cache_index,
             )
             new_cache = {"self": self_cache}
+            if "cross" in cache:
+                new_cache["cross"] = cache["cross"]
         else:
             out, self_w = self_attn(
                 tgt1, tgt1, tgt1, attn_mask=tgt_mask,
@@ -306,11 +312,18 @@ class TransformerDecoderLayer(nn.Module):
             tgt1 = LayerNorm(name="norm2")(tgt)
         else:
             tgt1 = tgt
-        out, cross_w = cross_attn(
-            tgt1, memory, memory, attn_mask=memory_mask,
-            key_padding_mask=memory_key_padding_mask, pos_embs=pos_embs_src,
-            train=train,
-        )
+        if cache is not None and cache.get("cross") is not None:
+            out, cross_w = cross_attn(
+                tgt1, memory, memory, attn_mask=memory_mask,
+                key_padding_mask=memory_key_padding_mask,
+                precomputed_kv=cache["cross"],
+            )
+        else:
+            out, cross_w = cross_attn(
+                tgt1, memory, memory, attn_mask=memory_mask,
+                key_padding_mask=memory_key_padding_mask,
+                pos_embs=pos_embs_src, train=train,
+            )
         tgt = tgt + out
         if not self.normalize_before:
             tgt = LayerNorm(name="norm2")(tgt)
@@ -361,6 +374,11 @@ class TransformerDecoder(nn.Module):
                 attention_type=self.attention_type,
                 name=f"layer_{i}",
             )
+            if cache == "precompute_cross_kv":
+                new_cache.append(
+                    layer(None, memory, cache="precompute_cross_kv")
+                )
+                continue
             if cache is not None:
                 output, lc, ca = layer(
                     output, memory,
@@ -377,6 +395,8 @@ class TransformerDecoder(nn.Module):
                 )
             self_attns.append(sa)
             cross_attns.append(ca)
+        if cache == "precompute_cross_kv":
+            return new_cache  # one {"k", "v"} per layer
         # unconditional final norm, matching the reference (:71,:119)
         output = LayerNorm(eps=1e-6, name="norm")(output)
         if cache is not None:

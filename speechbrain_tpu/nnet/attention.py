@@ -240,20 +240,44 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, attn_mask=None, key_padding_mask=None,
-                 pos_embs=None, train=False, cache=None, cache_index=None):
+                 pos_embs=None, train=False, cache=None, cache_index=None,
+                 precomputed_kv=None, return_kv_only=False):
         """Standard call, or INCREMENTAL-DECODE call when ``cache`` is
         given: query is the new step (B, 1, D); the projected K/V of
         that step are written into the explicit cache pytree
         {"k": (B, L, H, hd), "v": ...} at ``cache_index`` and attention
         runs over the valid prefix only — O(L) per step instead of
         re-encoding the whole buffer. Returns (out, weights, new_cache)
-        in cache mode (state explicit, jit/scan-friendly)."""
+        in cache mode (state explicit, jit/scan-friendly).
+
+        Serving fast paths: ``return_kv_only=True`` projects key/value
+        once and returns {"k": (B, Tk, H, hd), "v": ...};
+        ``precomputed_kv`` feeds that result back so cross-attention in
+        a decode loop never re-projects the (static) encoder states."""
         from speechbrain_tpu.nnet.linear import Linear
 
         B, Tq, _ = query.shape
         Tk = key.shape[1]
         hd = self.d_model // self.nhead
+        if return_kv_only:
+            k = Linear(self.d_model, name="k_proj")(key)
+            v = Linear(self.d_model, name="v_proj")(value)
+            return {
+                "k": k.reshape(B, Tk, self.nhead, hd),
+                "v": v.reshape(B, Tk, self.nhead, hd),
+            }
         q = Linear(self.d_model, name="q_proj")(query)
+        if precomputed_kv is not None:
+            q = q.reshape(B, Tq, self.nhead, hd).transpose(0, 2, 1, 3)
+            kc = precomputed_kv["k"].transpose(0, 2, 1, 3)
+            vc = precomputed_kv["v"].transpose(0, 2, 1, 3)
+            bias = make_mask_bias(key_padding_mask, attn_mask, q.dtype)
+            out, w = scaled_dot_product_attention(
+                q, kc, vc, bias, None, 0.0, False
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+            out = Linear(self.d_model, name="out_proj")(out)
+            return out, jnp.mean(w, axis=1)
         k = Linear(self.d_model, name="k_proj")(key)
         v = Linear(self.d_model, name="v_proj")(value)
         if cache is not None:

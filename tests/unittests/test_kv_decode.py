@@ -97,3 +97,32 @@ def test_kv_beam_matches_buffer_beam(model_and_enc):
     h2, l2, s2, _ = kv(enc, jnp.ones(2))
     assert h1 == h2, (h1, h2)
     np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+
+def test_precomputed_cross_kv_matches_plain_cache(model_and_enc):
+    """decode_step over a cache with PRECOMPUTED cross-attention K/V
+    must match the plain cache bit-for-bit (the serving path that skips
+    re-projecting the static encoder memory every step)."""
+    net, v, head, v_head, enc = model_and_enc
+    B = enc.shape[0]
+    plain = net.apply(v, B, MAX_LEN, method="init_decoder_cache")
+    fused = net.apply(
+        v, enc, MAX_LEN, method="init_decoder_cache_with_cross"
+    )
+    toks = jnp.asarray(np.random.default_rng(5).integers(0, VOCAB, (B,)),
+                       jnp.int32)
+    out_a, cache_a, _ = net.apply(
+        v, toks, enc, plain, 0, method="decode_step"
+    )
+    out_b, cache_b, _ = net.apply(
+        v, toks, enc, fused, 0, method="decode_step"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-5
+    )
+    # a second step from the updated caches still agrees
+    out_a2, _, _ = net.apply(v, toks, enc, cache_a, 1, method="decode_step")
+    out_b2, _, _ = net.apply(v, toks, enc, cache_b, 1, method="decode_step")
+    np.testing.assert_allclose(
+        np.asarray(out_a2), np.asarray(out_b2), rtol=1e-5, atol=1e-5
+    )
