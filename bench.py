@@ -489,7 +489,9 @@ def bench_northstar(bf16=True):
             v, toks, enc_states, cache, step, method="decode_step"
         )
         logits = seq_lin.apply(v_seq, out).astype(jnp.float32)
-        return jax.nn.log_softmax(logits, -1), new_cache, attn
+        # temperature on LOGITS, as the reference's forward_step does
+        # (ref seq2seq.py:1933); the searcher applies none itself
+        return jax.nn.log_softmax(logits / C["temperature"], -1), new_cache, attn
 
     scorer = ScorerBuilder(
         weights={"ctc": C["ctc_weight"], "transformerlm": C["lm_weight"]},

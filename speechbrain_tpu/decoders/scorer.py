@@ -140,6 +140,10 @@ class CTCScorer(BaseScorerInterface):
     from the CTC head's log-probs.
     """
 
+    # matches the reference CTCPrefixScore's own mask value
+    # (ref decoders/ctc.py:53) — NOT the searcher's minus_inf
+    CTC_MINUS_INF = -1e20
+
     def __init__(self, ctc_fn, blank_index, eos_index, ctc_window_size=0):
         # ctc_fn(enc_states) -> (B*, T, V) CTC log-probs (usually a Linear
         # + log_softmax over the inflated encoder states)
@@ -148,6 +152,10 @@ class CTCScorer(BaseScorerInterface):
         self.eos_index = eos_index
         self.ctc_window_size = ctc_window_size
         self._impl = None
+
+    @property
+    def vocab_size(self):
+        return self._impl.V
 
     def reset_mem(self, x, enc_lens):
         from speechbrain_tpu.decoders.ctc import CTCPrefixScore
@@ -168,32 +176,57 @@ class CTCScorer(BaseScorerInterface):
         return True
 
     def score(self, inp_tokens, memory, candidates, attn):
+        """Score candidate extensions; returns FULL-vocab scores with the
+        reference's -1e20 at unscored tokens, so non-candidates are
+        effectively blocked from selection (ref ctc.py:216-241 fills psi
+        with minus_inf outside the candidate set)."""
         # inp_tokens are the tokens just consumed (last of prefix g)
-        scores, new_states = self._impl.forward_step(
+        if candidates is None:
+            # full-vocab scoring (ctc_weight == 1.0 paths): every token is
+            # a candidate, like the reference's x_inflate full-search arm
+            candidates = jnp.broadcast_to(
+                jnp.arange(self._impl.V, dtype=jnp.int32)[None],
+                (inp_tokens.shape[0], self._impl.V),
+            )
+        _, new_states = self._impl.forward_step(
             memory["is_first"], inp_tokens, candidates, memory
         )
+        psi = new_states["psi"]  # (n_bh, n_cand)
+        # blank is not a valid extension for joint scoring (ref ctc.py:237)
+        if self.eos_index != self.blank_index:
+            psi = jnp.where(
+                candidates == self.blank_index, self.CTC_MINUS_INF, psi
+            )
+        new_states["psi"] = psi
+        n_bh = psi.shape[0]
+        psi_full = jnp.full((n_bh, self._impl.V), self.CTC_MINUS_INF)
+        psi_full = psi_full.at[
+            jnp.arange(n_bh)[:, None], candidates
+        ].set(psi)
+        scores = psi_full - memory["psi_prev"][:, None]
         new_states["candidates"] = candidates
         new_states["is_first"] = jnp.zeros_like(memory["is_first"])
         return scores, new_states
 
     def permute_and_select(self, new_states, hyp_index, new_tokens):
-        """Select the forward variables of the chosen (hyp, token) pairs."""
+        """Select the forward variables of the chosen (hyp, token) pairs
+        (reference ctc.py permute_mem:243)."""
         cands = new_states["candidates"][hyp_index]  # (n_bh, n_cand)
         # find the candidate slot matching each new token
         match = cands == new_tokens[:, None]
         cand_idx = jnp.argmax(match, axis=-1)
         found = jnp.any(match, axis=-1)
+        # unscored chosen token: the reference falls back to candidate
+        # slot 0's forward variables with psi_prev = minus_inf
+        # (ref ctc.py:284-288: scoring_table miss -> index 0; psi select
+        # reads the minus_inf-filled psi matrix). argmax already yields 0
+        # on no-match, so only psi needs the mask.
         state = self._impl.select_state(
             jax.tree_util.tree_map(lambda t: t, new_states), hyp_index, cand_idx
         )
-        # if the chosen token wasn't in the scored candidate set (possible
-        # when another scorer promoted it), fall back to the predecessor's
-        # prefix variables (approximation; reference prunes identically)
-        state = {
-            "r_b": jnp.where(found[:, None], state["r_b"], NEG_INF),
-            "r_n": jnp.where(found[:, None], state["r_n"], NEG_INF),
-            "psi_prev": jnp.where(found, state["psi_prev"], NEG_INF),
-        }
+        state["psi_prev"] = jnp.where(
+            found, state["psi_prev"], self.CTC_MINUS_INF
+        )
         state["is_first"] = jnp.zeros((hyp_index.shape[0],), bool)
         return state
 
@@ -306,7 +339,7 @@ class ScorerBuilder:
     """
 
     def __init__(self, weights={}, full_scorers={}, partial_scorers={},
-                 scorer_beam_scale=1.5):
+                 scorer_beam_scale=2.0):
         self.weights = dict(weights)
         self.full_scorers = dict(full_scorers)
         self.partial_scorers = dict(partial_scorers)
@@ -319,37 +352,52 @@ class ScorerBuilder:
         return mem
 
     def score(self, inp_tokens, memories, attn, log_probs, beam_size):
-        """Add weighted scorer contributions to log_probs
-        (inside the beam loop)."""
+        """Add weighted scorer contributions to log_probs inside the beam
+        loop — reference-ordered (ref scorer.py:1221-1268): full scorers
+        first (with blank blocking when CTC scores the full vocab), then
+        candidate pruning from the fused log-probs, then the partial
+        scorers. Partial scorers return FULL-vocab scores carrying their
+        own minus-inf at unscored tokens, so a plain add suffices."""
         new_mem = {}
         for name, scorer in self.full_scorers.items():
+            if name == "ctc":
+                # block blank when CTC drives full-vocab scoring
+                # (reference scorer.py:1249-1250)
+                log_probs = log_probs.at[:, scorer.blank_index].set(
+                    CTCScorer.CTC_MINUS_INF
+                )
             scores, sm = scorer.score(inp_tokens, memories.get(name), None, attn)
             log_probs = log_probs + self.weights.get(name, 1.0) * scores
             new_mem[name] = sm
         if self.partial_scorers:
             n_cand = int(beam_size * self.scorer_beam_scale)
+            n_cand = max(1, min(n_cand, log_probs.shape[-1]))
             _, candidates = jax.lax.top_k(log_probs, n_cand)
             for name, scorer in self.partial_scorers.items():
                 scores, sm = scorer.score(
                     inp_tokens, memories.get(name), candidates, attn
                 )
-                w = self.weights.get(name, 1.0)
-                add = jnp.full(log_probs.shape, 0.0)
-                add = jnp.put_along_axis(  # scatter partial scores
-                    add, candidates, w * scores, axis=-1, inplace=False
-                ) if hasattr(jnp, "put_along_axis") else add.at[
-                    jnp.arange(log_probs.shape[0])[:, None], candidates
-                ].set(w * scores)
-                log_probs = log_probs + add
+                log_probs = log_probs + self.weights.get(name, 1.0) * scores
                 new_mem[name] = sm
         return log_probs, new_mem
 
-    def permute_scorer_mem(self, memories, index, new_tokens, flat_cand_index=None):
-        """Reorder all scorer memories after beam pruning."""
+    def permute_scorer_mem(self, memories, index, new_tokens):
+        """Reorder all scorer memories after beam pruning. ``index`` is
+        the flat predecessor row per surviving hypothesis; ``new_tokens``
+        the token each chose (the reference's ``candidates`` in
+        beam*vocab space carries the same two pieces of information,
+        ref scorer.py:1270-1296)."""
         out = {}
         for name, scorer in self.full_scorers.items():
             mem = memories.get(name)
-            out[name] = scorer.permute_mem(mem, index) if mem is not None else None
+            if mem is None:
+                out[name] = None
+            elif hasattr(scorer, "permute_and_select"):
+                # CTC/kenlm-style scorers select by (hyp, token) pairs
+                # even as full scorers (ref scorer.py:1289-1291)
+                out[name] = scorer.permute_and_select(mem, index, new_tokens)
+            else:
+                out[name] = scorer.permute_mem(mem, index)
         for name, scorer in self.partial_scorers.items():
             mem = memories.get(name)
             if mem is None:

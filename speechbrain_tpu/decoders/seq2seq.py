@@ -132,21 +132,34 @@ def _trim_eos_batch(tokens, eos_index):
 
 
 class S2SBeamSearcher(S2SBaseSearcher):
-    """Batched beam search as one jitted fixed-length loop
-    (reference seq2seq.py:711).
+    """Batched beam search as one jitted fixed-length loop, with the
+    REFERENCE's exact selection semantics (reference seq2seq.py:711):
 
-    Arguments mirror the reference: beam_size, length normalization or
-    length rewarding, eos_threshold, topk, temperature, plus a
-    ScorerBuilder for LM/CTC/coverage fusion (``scorer=``).
+    * top-``beam_size`` selection over the ``beam_size * vocab``
+      candidate scores each step — an eos candidate keeps its beam slot
+      for that step, is recorded into the finished set (append order =
+      beam-slot order, capped at ``beam_size`` per utterance), and its
+      sequence score is masked to ``minus_inf`` so the slot dies out;
+    * the decoder log-probs are scaled by ``attn_weight = 1 -
+      ctc_weight`` when a CTC scorer is fused (ref seq2seq.py:803-804,
+      916-921); with ``ctc_weight == 1.0`` the decoder step is skipped
+      entirely and the search is driven by the scorers alone;
+    * eos is blocked below ``min_decode_steps`` and by the eos
+      threshold BEFORE the scorers run (ref search_step:1542-1561);
+    * length normalization divides candidate scores by ``step + 1``
+      before selection; recorded finished scores are the normalized
+      ones (ref :1229-1251);
+    * after the fixed-length loop, utterances with fewer than
+      ``beam_size`` finished hypotheses are topped up from the alive
+      beams in slot order, including the reference's drop-last-token
+      trim for those fills (ref _fill_alived_hyps_with_eos_token:1600).
 
-    The decode loop maintains, per batch element:
-
-    * ``alive``: beam_size unfinished hypotheses (+scores, memories)
-    * ``finished``: beam_size best eos-terminated hypotheses (+scores)
-
-    and runs exactly ``max_decode_steps`` iterations — XLA-friendly; the
-    reference's early exit is replaced by masking (finished alive rows
-    feed eos and contribute -inf extensions).
+    The reference's data-dependent early exit is replaced by masking —
+    extra iterations cannot change the recorded hypotheses because the
+    finished set is append-capped. ``temperature`` must be applied to
+    LOGITS inside ``forward_step`` / the decode callable (as the
+    reference's model-specific ``forward_step`` does, ref :1933); the
+    base loop performs no temperature scaling.
     """
 
     def __init__(
@@ -166,7 +179,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
         topk=1,
         temperature=1.0,
         return_topk=False,
-        minus_inf=NEG_INF,
+        minus_inf=-1e20,
     ):
         super().__init__(bos_index, eos_index, min_decode_ratio, max_decode_ratio)
         self.beam_size = beam_size
@@ -185,33 +198,58 @@ class S2SBeamSearcher(S2SBaseSearcher):
         self.minus_inf = minus_inf
         self.using_max_attn_shift = using_max_attn_shift
         self.max_attn_shift = max_attn_shift
+        # joint CTC/attention weighting (reference seq2seq.py:781-804)
+        self.attn_weight = 1.0
+        self.ctc_weight = 0.0
+        if scorer is not None and scorer.weights.get("ctc", 0.0) > 0.0:
+            self.ctc_weight = scorer.weights["ctc"]
+            self.attn_weight = 1.0 - self.ctc_weight
 
     # -- main entry ---------------------------------------------------------
     def __call__(self, enc_states, wav_len):
         B, T = enc_states.shape[0], enc_states.shape[1]
-        K = self.beam_size
         min_steps = int(T * self.min_decode_ratio)
         max_steps = max(1, int(T * self.max_decode_ratio))
         min_steps, max_steps = self.change_max_decoding_length(min_steps, max_steps)
 
-        (
-            alive_seq,
-            alive_scores,
-            finished_seq,
-            finished_scores,
-            finished_flags,
-            finished_lens,
-        ) = self._search_jit(enc_states, wav_len, min_steps, max_steps)
+        fin_seq, fin_scores, fin_lens, fin_count = self._search_jit(
+            enc_states, wav_len, min_steps, max_steps
+        )
 
         return self._gather_results(
-            np.asarray(finished_seq),
-            np.asarray(finished_scores),
-            np.asarray(finished_flags),
-            np.asarray(finished_lens),
-            np.asarray(alive_seq),
-            np.asarray(alive_scores),
-            max_steps,
+            np.asarray(fin_seq),
+            np.asarray(fin_scores),
+            np.asarray(fin_lens),
+            np.asarray(fin_count),
         )
+
+    def _record_finished(
+        self, record, norm_scores, seq, seq_len,
+        fin_seq, fin_scores, fin_lens, fin_count,
+    ):
+        """Append the ``record``-flagged beam rows to the finished set in
+        beam-slot order, capped at beam_size per utterance (the jit-safe
+        form of reference _update_hyps_and_scores_if_eos_token:1371)."""
+        B, K = record.shape
+        b_idx = jnp.arange(B)[:, None]
+        rank = jnp.cumsum(record.astype(jnp.int32), axis=1) - record
+        pos = fin_count[:, None] + rank
+        write = record & (pos < K)
+        pos_c = jnp.where(write, pos, K)  # K = drop slot (sliced off)
+        pad_sc = jnp.concatenate(
+            [fin_scores, jnp.full((B, 1), self.minus_inf)], axis=1
+        )
+        fin_scores = pad_sc.at[b_idx, pos_c].set(norm_scores)[:, :K]
+        pad_seq = jnp.concatenate(
+            [fin_seq, jnp.zeros((B, 1, fin_seq.shape[-1]), jnp.int32)], axis=1
+        )
+        fin_seq = pad_seq.at[b_idx, pos_c].set(seq)[:, :K]
+        pad_ln = jnp.concatenate(
+            [fin_lens, jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+        fin_lens = pad_ln.at[b_idx, pos_c].set(seq_len)[:, :K]
+        fin_count = fin_count + jnp.sum(write, axis=1).astype(jnp.int32)
+        return fin_seq, fin_scores, fin_lens, fin_count
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _search_jit(self, enc_states, wav_len, min_steps, max_steps):
@@ -236,15 +274,17 @@ class S2SBeamSearcher(S2SBaseSearcher):
         if self.scorer is not None:
             scorer_mem = self.scorer.reset_scorer_mem(enc_inflated, lens_inflated)
 
-        # only beam 0 of each batch is live at step 0 (avoid duplicates)
-        alive_scores = jnp.tile(
-            jnp.asarray([0.0] + [self.minus_inf] * (K - 1)), (B, 1)
-        )  # (B, K)
-        alive_seq = jnp.full((B, K, max_steps), self.eos_index, jnp.int32)
-        finished_seq = jnp.full((B, K, max_steps), self.eos_index, jnp.int32)
-        finished_scores = jnp.full((B, K), self.minus_inf)
-        finished_flags = jnp.zeros((B, K), bool)
-        finished_lens = jnp.zeros((B, K), jnp.int32)
+        # only beam 0 of each batch is live at step 0 (avoid duplicates,
+        # reference init_beam_search_data:1326-1332)
+        seq_scores = jnp.tile(
+            jnp.asarray([0.0] + [self.minus_inf] * (K - 1)), (B,)
+        )  # (n_bh,)
+        seq = jnp.zeros((n_bh, max_steps), jnp.int32)
+        fin_seq = jnp.zeros((B, K, max_steps), jnp.int32)
+        fin_scores = jnp.full((B, K), self.minus_inf)
+        fin_lens = jnp.zeros((B, K), jnp.int32)
+        fin_count = jnp.zeros((B,), jnp.int32)
+        last_norm_scores = jnp.full((B, K), self.minus_inf)
         prev_tokens = jnp.full((n_bh,), self.bos_index, jnp.int32)
         prev_attn_peak = jnp.zeros((n_bh,), jnp.int32)
 
@@ -254,17 +294,24 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 memory,
                 scorer_mem,
                 prev_attn_peak,
-                alive_seq,
-                alive_scores,
-                finished_seq,
-                finished_scores,
-                finished_flags,
-                finished_lens,
+                seq,
+                seq_scores,
+                last_norm_scores,
+                fin_seq,
+                fin_scores,
+                fin_lens,
+                fin_count,
             ) = carry
-            log_probs, memory, attn = self.forward_step(
-                prev_tokens, memory, enc_inflated, lens_inflated, step
-            )
-            log_probs = log_probs / self.temperature
+            attn = None
+            if self.attn_weight > 0:
+                log_probs, memory, attn = self.forward_step(
+                    prev_tokens, memory, enc_inflated, lens_inflated, step
+                )
+                log_probs = self.attn_weight * log_probs
+            else:
+                # pure-CTC decoding: the decoder step is skipped and the
+                # scorers drive the search (reference _attn_weight_step)
+                log_probs = jnp.zeros((n_bh, self._n_out()), jnp.float32)
             V = log_probs.shape[-1]
             cur_attn_peak = prev_attn_peak
             if self.using_max_attn_shift:
@@ -281,90 +328,75 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 log_probs = jnp.where(
                     within[:, None], log_probs, self.minus_inf
                 )
+            # eos masking BEFORE the scorers (reference search_step order:
+            # min-steps block, then eos threshold, then scorer fusion)
+            eos_score = log_probs[:, self.eos_index]
+            eos_score = jnp.where(step < min_steps, self.minus_inf, eos_score)
+            if self.using_eos_threshold:
+                max_logp = jnp.max(
+                    log_probs.at[:, self.eos_index].set(eos_score), axis=-1
+                )
+                eos_blocked = eos_score <= (self.eos_threshold * max_logp)
+                eos_score = jnp.where(eos_blocked, self.minus_inf, eos_score)
+            log_probs = log_probs.at[:, self.eos_index].set(eos_score)
             if self.scorer is not None:
                 log_probs, scorer_mem = self.scorer.score(
                     prev_tokens, scorer_mem, attn, log_probs, self.beam_size
                 )
-            # eos threshold: block eos unless it is competitive
-            # (disable with using_eos_threshold=False, ref seq2seq.py:851)
-            eos_score = log_probs[:, self.eos_index]
-            if self.using_eos_threshold:
-                max_logp = jnp.max(log_probs, axis=-1)
-                eos_blocked = eos_score < (self.eos_threshold * max_logp)
-                eos_score = jnp.where(eos_blocked, self.minus_inf, eos_score)
-            eos_score = jnp.where(step < min_steps, self.minus_inf, eos_score)
-            log_probs = log_probs.at[:, self.eos_index].set(eos_score)
+            if self.length_rewarding:
+                # constant per-token reward — the reference expresses this
+                # through LengthScorer (scorer.py:956); the flat add is
+                # rank-preserving within a step and accumulates per token
+                log_probs = log_probs + self.length_rewarding
 
-            # combined candidate scores
-            cand = alive_scores.reshape(n_bh, 1) + log_probs  # (n_bh, V)
+            # candidate scores + reference-exact top-K selection
+            cand = seq_scores[:, None] + log_probs  # (n_bh, V)
             cand = cand.reshape(B, K * V)
-            # take 2K best so we can refill K alive even if some hit eos
-            top_scores, top_idx = jax.lax.top_k(cand, 2 * K)  # (B, 2K)
-            beam_idx = top_idx // V  # (B, 2K) source beam
-            token_idx = top_idx % V
-
-            # sequences of the candidates
-            gather_rows = beam_idx + jnp.arange(B)[:, None] * K  # flat (B,2K)
-            cand_seq = alive_seq.reshape(n_bh, max_steps)[gather_rows]
-            cand_seq = cand_seq.at[:, :, step].set(token_idx)
-
-            is_eos = token_idx == self.eos_index
-
-            # update finished set: merge current finished with eos candidates
-            eos_scores = jnp.where(is_eos, top_scores, self.minus_inf)
             if self.length_normalization:
-                norm_eos = eos_scores / (step + 1)
+                cand = cand / (step + 1)
+            top_norm, top_idx = jax.lax.top_k(cand, K)  # (B, K), sorted
+            src_beam = top_idx // V
+            token_idx = top_idx % V  # (B, K)
+            new_tokens = token_idx.reshape(n_bh)
+            if self.length_normalization:
+                new_seq_scores = (top_norm * (step + 1)).reshape(n_bh)
             else:
-                norm_eos = eos_scores + self.length_rewarding * (step + 1)
-            merged_scores = jnp.concatenate([finished_scores, norm_eos], axis=1)
-            merged_seq = jnp.concatenate([finished_seq, cand_seq], axis=1)
-            merged_flags = jnp.concatenate(
-                [finished_flags, is_eos], axis=1
-            )
-            merged_lens = jnp.concatenate(
-                [finished_lens, jnp.full((B, 2 * K), step + 1, jnp.int32)], axis=1
-            )
-            merged_scores = jnp.where(merged_flags, merged_scores, self.minus_inf)
-            fin_scores, fin_idx = jax.lax.top_k(merged_scores, K)
-            finished_scores = fin_scores
-            finished_seq = jnp.take_along_axis(
-                merged_seq, fin_idx[:, :, None], axis=1
-            )
-            finished_flags = jnp.take_along_axis(merged_flags, fin_idx, axis=1)
-            finished_lens = jnp.take_along_axis(merged_lens, fin_idx, axis=1)
+                new_seq_scores = top_norm.reshape(n_bh)
 
-            # refill alive with the best non-eos candidates
-            alive_cand_scores = jnp.where(is_eos, self.minus_inf, top_scores)
-            new_alive_scores, alive_idx = jax.lax.top_k(alive_cand_scores, K)
-            alive_scores = new_alive_scores
-            alive_seq = jnp.take_along_axis(
-                cand_seq, alive_idx[:, :, None], axis=1
-            )
-            src_beam = jnp.take_along_axis(beam_idx, alive_idx, axis=1)  # (B,K)
-            new_tokens = jnp.take_along_axis(token_idx, alive_idx, axis=1)
             predecessors = (src_beam + jnp.arange(B)[:, None] * K).reshape(-1)
-            memory = self.permute_mem(memory, predecessors)
+            new_seq = jnp.take(seq, predecessors, axis=0)
+            new_seq = new_seq.at[:, step].set(new_tokens)
+
+            memory = self._permute_attn_mem(memory, predecessors)
             prev_attn_peak = jnp.take(cur_attn_peak, predecessors)
             if self.scorer is not None:
-                # scorer memories were extended per candidate inside score();
-                # select the surviving (hyp, token) pairs
-                flat_alive = alive_idx + jnp.arange(B)[:, None] * (2 * K)
                 scorer_mem = self.scorer.permute_scorer_mem(
-                    scorer_mem, predecessors, new_tokens.reshape(-1),
-                    flat_cand_index=flat_alive.reshape(-1),
+                    scorer_mem, predecessors, new_tokens
                 )
-            prev_tokens = new_tokens.reshape(-1)
+
+            # record eos selections into the finished set (slot order)
+            is_eos = token_idx == self.eos_index  # (B, K)
+            fin_seq, fin_scores, fin_lens, fin_count = self._record_finished(
+                is_eos, top_norm, new_seq.reshape(B, K, max_steps),
+                jnp.full((B, K), step + 1, jnp.int32),
+                fin_seq, fin_scores, fin_lens, fin_count,
+            )
+            # eos'd slots die out (reference search_step:1586)
+            seq_scores = jnp.where(
+                is_eos.reshape(n_bh), self.minus_inf, new_seq_scores
+            )
             return (
-                prev_tokens,
+                new_tokens,
                 memory,
                 scorer_mem,
                 prev_attn_peak,
-                alive_seq,
-                alive_scores,
-                finished_seq,
-                finished_scores,
-                finished_flags,
-                finished_lens,
+                new_seq,
+                seq_scores,
+                top_norm,
+                fin_seq,
+                fin_scores,
+                fin_lens,
+                fin_count,
             )
 
         carry = (
@@ -372,67 +404,68 @@ class S2SBeamSearcher(S2SBaseSearcher):
             memory,
             scorer_mem,
             prev_attn_peak,
-            alive_seq,
-            alive_scores,
-            finished_seq,
-            finished_scores,
-            finished_flags,
-            finished_lens,
+            seq,
+            seq_scores,
+            last_norm_scores,
+            fin_seq,
+            fin_scores,
+            fin_lens,
+            fin_count,
         )
         carry = jax.lax.fori_loop(0, max_steps, body, carry)
         (
-            _pt,
-            _mem,
-            _sm,
-            _pap,
-            alive_seq,
-            alive_scores,
-            finished_seq,
-            finished_scores,
-            finished_flags,
-            finished_lens,
+            _pt, _mem, _sm, _pap,
+            seq,
+            seq_scores,
+            last_norm_scores,
+            fin_seq,
+            fin_scores,
+            fin_lens,
+            fin_count,
         ) = carry
-        return (
-            alive_seq,
-            alive_scores,
-            finished_seq,
-            finished_scores,
-            finished_flags,
-            finished_lens,
+        # top up under-full beams from the alive rows in slot order
+        # (reference _fill_alived_hyps_with_eos_token:1600); the filled
+        # rows carry length max_steps so the final trim drops their last
+        # token, exactly like the reference's eos-trim does
+        fill = jnp.ones((B, K), bool)
+        fin_seq, fin_scores, fin_lens, fin_count = self._record_finished(
+            fill, last_norm_scores, seq.reshape(B, K, max_steps),
+            jnp.full((B, K), max_steps, jnp.int32),
+            fin_seq, fin_scores, fin_lens, fin_count,
         )
+        return fin_seq, fin_scores, fin_lens, fin_count
 
-    def _gather_results(
-        self, finished_seq, finished_scores, finished_flags, finished_lens,
-        alive_seq, alive_scores, max_steps,
-    ):
-        """Host-side final selection: fall back to alive beams for
-        sequences with no finished hypothesis (reference behaviour)."""
-        B, K, L = finished_seq.shape
+    def _permute_attn_mem(self, memory, predecessors):
+        """Predecessor gather of the decoder memory; skipped entirely in
+        pure-CTC mode (reference _attn_weight_permute_memory_step)."""
+        if self.attn_weight > 0:
+            return self.permute_mem(memory, predecessors)
+        return memory
+
+    def _n_out(self):
+        """Vocab size for the pure-CTC (attn_weight == 0) path, where no
+        decoder forward provides it. Taken from the CTC scorer."""
+        scorers = {**self.scorer.full_scorers, **self.scorer.partial_scorers}
+        return scorers["ctc"].vocab_size
+
+    def _gather_results(self, fin_seq, fin_scores, fin_lens, fin_count):
+        """Host-side final ranking over the recorded finished set
+        (reference _get_topk_prediction:1418). Each stored length
+        includes the terminating eos (or the reference's drop-last-token
+        fill quirk), so the emitted hypothesis is ``len - 1`` tokens."""
+        B, K, L = fin_seq.shape
         hyps, scores, lengths = [], [], []
         topk_hyps, topk_scores, topk_lengths = [], [], []
         for b in range(B):
-            rows = []
-            for k in range(K):
-                if finished_flags[b, k]:
-                    ln = int(finished_lens[b, k]) - 1  # exclude eos
-                    rows.append(
-                        (
-                            float(finished_scores[b, k]),
-                            finished_seq[b, k, :ln].tolist(),
-                            ln,
-                        )
-                    )
-            if not rows:
-                norm = max_steps if self.length_normalization else 1.0
-                for k in range(K):
-                    rows.append(
-                        (
-                            float(alive_scores[b, k]) / norm,
-                            alive_seq[b, k].tolist(),
-                            max_steps,
-                        )
-                    )
-            rows.sort(key=lambda r: r[0], reverse=True)
+            order = np.argsort(-fin_scores[b], kind="stable")
+            rows = [
+                (
+                    float(fin_scores[b, k]),
+                    fin_seq[b, k, : max(0, int(fin_lens[b, k]) - 1)].tolist(),
+                    max(0, int(fin_lens[b, k]) - 1),
+                )
+                for k in order
+            ]
             hyps.append(rows[0][1])
             scores.append(rows[0][0])
             lengths.append(rows[0][2])

@@ -348,7 +348,10 @@ def test_rescorer_builder_fixes_top1():
     searcher = S2SRNNBeamSearcher(
         step_fn=step_fn,
         init_fn=lambda n, e, l: {"d": jnp.zeros((n, 1))},
-        bos_index=eos, eos_index=eos, min_decode_ratio=0.0,
+        # min_decode_ratio blocks step-0 eos: with reference-exact
+        # semantics an immediate eos would otherwise claim a finished
+        # slot (even from a -inf tie) and crowd [2] out of the n-best
+        bos_index=eos, eos_index=eos, min_decode_ratio=0.25,
         max_decode_ratio=0.5, beam_size=4, topk=4, return_topk=True,
         eos_threshold=100.0,
     )
