@@ -5,11 +5,17 @@ Capability parity with the reference's ``speechbrain/dataio/encoder.py``
 categorical mapping from data or iterables, optionally with unk/bos/eos/
 blank special labels, save/load as a text file, and encode/decode
 sequences host-side (arrays go to device at the batch boundary).
+
+FILE-FORMAT CONTRACT: the save format (``repr(label) => index`` lines,
+an ``================`` separator, then ``repr(key) => repr(value)``
+extras lines) is interchange-compatible with the reference's encoder
+files — both sides must be able to read each other's saves.
 """
 
 import ast
 import collections
 import itertools
+import os
 
 import numpy as np
 
@@ -26,6 +32,11 @@ DEFAULT_UNK = "<unk>"
 DEFAULT_BOS = "<bos>"
 DEFAULT_EOS = "<eos>"
 DEFAULT_BLANK = "<blank>"
+
+
+def _label_stream(iterable, sequence_input):
+    """Flatten an iterable of sequences when requested."""
+    return itertools.chain.from_iterable(iterable) if sequence_input else iter(iterable)
 
 
 @register_checkpoint_hooks
@@ -60,32 +71,30 @@ class CategoricalEncoder:
 
     def is_continuous(self):
         """True if indices form a contiguous range from starting_index."""
-        indices = sorted(self.ind2lab)
-        return (
-            not indices
-            or indices[0] == self.starting_index
-            and indices == list(range(indices[0], indices[0] + len(indices)))
-        )
+        want = range(self.starting_index, self.starting_index + len(self.ind2lab))
+        return sorted(self.ind2lab) == list(want)
 
     def _next_index(self):
-        index = self.starting_index
-        while index in self.ind2lab:
-            index += 1
-        return index
+        return next(
+            i for i in itertools.count(self.starting_index)
+            if i not in self.ind2lab
+        )
+
+    def _bind(self, label, index):
+        self.lab2ind[label] = index
+        self.ind2lab[index] = label
 
     # -- building ------------------------------------------------------------
     def add_label(self, label):
         if label in self.lab2ind:
             raise KeyError(f"Label already present: {label}")
         index = self._next_index()
-        self.lab2ind[label] = index
-        self.ind2lab[index] = label
+        self._bind(label, index)
         return index
 
     def ensure_label(self, label):
-        if label in self.lab2ind:
-            return self.lab2ind[label]
-        return self.add_label(label)
+        existing = self.lab2ind.get(label)
+        return self.add_label(label) if existing is None else existing
 
     def insert_label(self, label, index):
         if label in self.lab2ind:
@@ -95,21 +104,16 @@ class CategoricalEncoder:
     def enforce_label(self, label, index):
         """Place label at index, moving any occupant to a fresh index."""
         index = int(index)
+        if self.lab2ind.get(label) == index:
+            return
         if label in self.lab2ind:
-            if index == self.lab2ind[label]:
-                return
-            del self.ind2lab[self.lab2ind[label]]
-        if index in self.ind2lab:
-            evicted = self.ind2lab[index]
+            # release the label's old slot before re-binding it
+            del self.ind2lab[self.lab2ind.pop(label)]
+        evicted = self.ind2lab.get(index)
+        self._bind(label, index)
+        if evicted is not None:
             del self.lab2ind[evicted]
-            self.lab2ind[label] = index
-            self.ind2lab[index] = label
-            new_index = self._next_index()
-            self.lab2ind[evicted] = new_index
-            self.ind2lab[new_index] = evicted
-        else:
-            self.lab2ind[label] = index
-            self.ind2lab[index] = label
+            self._bind(evicted, self._next_index())
 
     def add_unk(self, unk_label=DEFAULT_UNK):
         self.unk_label = unk_label
@@ -117,10 +121,7 @@ class CategoricalEncoder:
 
     def update_from_iterable(self, iterable, sequence_input=False):
         """Collect labels from an iterable (or iterable of sequences)."""
-        label_iterator = (
-            itertools.chain.from_iterable(iterable) if sequence_input else iterable
-        )
-        for label in label_iterator:
+        for label in _label_stream(iterable, sequence_input):
             self.ensure_label(label)
 
     def update_from_didataset(self, didataset, output_key, sequence_input=False):
@@ -135,10 +136,7 @@ class CategoricalEncoder:
         self, iterable, sequence_input=False, n_most_common=None, min_count=1
     ):
         """Build from label counts with frequency filters; returns Counter."""
-        label_iterator = (
-            itertools.chain.from_iterable(iterable) if sequence_input else iterable
-        )
-        counts = collections.Counter(label_iterator)
+        counts = collections.Counter(_label_stream(iterable, sequence_input))
         for label, count in counts.most_common(n_most_common):
             if count < min_count:
                 break
@@ -157,15 +155,15 @@ class CategoricalEncoder:
 
     # -- encoding ------------------------------------------------------------
     def encode_label(self, label, allow_unk=True):
-        try:
-            return self.lab2ind[label]
-        except KeyError:
-            if hasattr(self, "unk_label") and allow_unk:
-                return self.lab2ind[self.unk_label]
-            raise KeyError(
-                f"Unknown label {label}, and no unk_label set "
-                "(call add_unk() to allow unknowns)."
-            )
+        index = self.lab2ind.get(label)
+        if index is not None:
+            return index
+        if allow_unk and hasattr(self, "unk_label"):
+            return self.lab2ind[self.unk_label]
+        raise KeyError(
+            f"Unknown label {label}, and no unk_label set "
+            "(call add_unk() to allow unknowns)."
+        )
 
     def encode_label_array(self, x, allow_unk=True):
         return np.asarray(
@@ -189,12 +187,35 @@ class CategoricalEncoder:
         except TypeError:
             return self.decode_ind(x)
 
-    # -- persistence -----------------------------------------------------------
+    # -- persistence ---------------------------------------------------------
     def save(self, path):
-        self._save_literal(path, self.lab2ind, self._get_extras())
+        parent = os.path.dirname(str(path))
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        sep = self.VALUE_SEPARATOR
+        lines = [f"{label!r}{sep}{ind}" for label, ind in self.lab2ind.items()]
+        extra_lines = [
+            f"{key!r}{sep}{value!r}" for key, value in self._get_extras().items()
+        ]
+        body = "\n".join(lines) + ("\n" if lines else "")
+        body += self.EXTRAS_SEPARATOR
+        body += "\n".join(extra_lines) + ("\n" if extra_lines else "")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(body)
 
     def load(self, path):
-        lab2ind, ind2lab, extras = self._load_literal(path)
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+        mapping_part, _, extras_part = text.partition(self.EXTRAS_SEPARATOR)
+        lab2ind, ind2lab, extras = {}, {}, {}
+        for line in mapping_part.splitlines():
+            literal, _, ind = line.rpartition(self.VALUE_SEPARATOR)
+            label = ast.literal_eval(literal)
+            lab2ind[label] = int(ind)
+            ind2lab[int(ind)] = label
+        for line in extras_part.splitlines():
+            key, _, value = line.partition(self.VALUE_SEPARATOR)
+            extras[ast.literal_eval(key)] = ast.literal_eval(value)
         self.lab2ind = lab2ind
         self.ind2lab = ind2lab
         self._set_extras(extras)
@@ -236,47 +257,6 @@ class CategoricalEncoder:
             self.unk_label = extras["unk_label"]
         self.starting_index = extras["starting_index"]
 
-    @staticmethod
-    def _save_literal(path, lab2ind, extras):
-        import os
-
-        parent = os.path.dirname(str(path))
-        if parent:
-            os.makedirs(parent, exist_ok=True)
-        with open(path, "w", encoding="utf-8") as f:
-            for label, ind in lab2ind.items():
-                f.write(
-                    repr(label) + CategoricalEncoder.VALUE_SEPARATOR + str(ind) + "\n"
-                )
-            f.write(CategoricalEncoder.EXTRAS_SEPARATOR)
-            for key, value in extras.items():
-                f.write(
-                    repr(key) + CategoricalEncoder.VALUE_SEPARATOR + repr(value) + "\n"
-                )
-            f.flush()
-
-    @staticmethod
-    def _load_literal(path):
-        lab2ind = {}
-        ind2lab = {}
-        extras = {}
-        with open(path, encoding="utf-8") as f:
-            for line in f:
-                if line == CategoricalEncoder.EXTRAS_SEPARATOR:
-                    break
-                literal, ind = line.strip().rsplit(
-                    CategoricalEncoder.VALUE_SEPARATOR, maxsplit=1
-                )
-                label = ast.literal_eval(literal)
-                lab2ind[label] = int(ind)
-                ind2lab[int(ind)] = label
-            for line in f:
-                literal_key, literal_value = line.strip().split(
-                    CategoricalEncoder.VALUE_SEPARATOR, maxsplit=1
-                )
-                extras[ast.literal_eval(literal_key)] = ast.literal_eval(literal_value)
-        return lab2ind, ind2lab, extras
-
     @mark_as_saver
     def _save_hook(self, path):
         self.save(path)
@@ -291,26 +271,21 @@ class TextEncoder(CategoricalEncoder):
 
     def handle_special_labels(self, special_labels):
         super().handle_special_labels(special_labels)
-        if "bos_label" in special_labels and "eos_label" in special_labels:
-            if special_labels["bos_label"] == special_labels["eos_label"]:
-                self.insert_bos_eos(
-                    bos_label=special_labels["bos_label"],
-                    eos_label=special_labels["eos_label"],
-                )
-            else:
-                self.add_bos_eos(
-                    bos_label=special_labels["bos_label"],
-                    eos_label=special_labels["eos_label"],
-                )
-        elif "bos_label" in special_labels or "eos_label" in special_labels:
+        has_bos = "bos_label" in special_labels
+        has_eos = "eos_label" in special_labels
+        if has_bos != has_eos:
             raise TypeError("Provide both bos_label and eos_label, or neither.")
+        if not has_bos:
+            return
+        bos, eos = special_labels["bos_label"], special_labels["eos_label"]
+        if bos == eos:
+            self.insert_bos_eos(bos_label=bos, eos_label=eos)
+        else:
+            self.add_bos_eos(bos_label=bos, eos_label=eos)
 
     def add_bos_eos(self, bos_label=DEFAULT_BOS, eos_label=DEFAULT_EOS):
-        if bos_label == eos_label:
-            self.ensure_label(bos_label)
-        else:
-            self.ensure_label(bos_label)
-            self.ensure_label(eos_label)
+        for label in {bos_label, eos_label}:
+            self.ensure_label(label)
         self.bos_label = bos_label
         self.eos_label = eos_label
 
@@ -318,12 +293,9 @@ class TextEncoder(CategoricalEncoder):
         self, bos_label=DEFAULT_BOS, eos_label=DEFAULT_EOS, bos_index=0, eos_index=None
     ):
         self.enforce_label(bos_label, bos_index)
-        if eos_label == bos_label:
-            pass
-        elif eos_index is None:
-            self.enforce_label(eos_label, bos_index + 1)
-        else:
-            self.enforce_label(eos_label, eos_index)
+        if eos_label != bos_label:
+            where = bos_index + 1 if eos_index is None else eos_index
+            self.enforce_label(eos_label, where)
         self.bos_label = bos_label
         self.eos_label = eos_label
 
@@ -334,16 +306,16 @@ class TextEncoder(CategoricalEncoder):
         return self.encode_label(self.eos_label, allow_unk=False)
 
     def prepend_bos_label(self, x):
-        return [self.bos_label] + list(x)
+        return [self.bos_label, *x]
 
     def prepend_bos_index(self, x):
-        return [self.get_bos_index()] + list(x)
+        return [self.get_bos_index(), *x]
 
     def append_eos_label(self, x):
-        return list(x) + [self.eos_label]
+        return [*x, self.eos_label]
 
     def append_eos_index(self, x):
-        return list(x) + [self.get_eos_index()]
+        return [*x, self.get_eos_index()]
 
     def _get_extras(self):
         extras = super()._get_extras()
@@ -381,11 +353,14 @@ class CTCTextEncoder(TextEncoder):
     def get_blank_index(self):
         return self.encode_label(self.blank_label, allow_unk=False)
 
+    @staticmethod
+    def _dedup(seq):
+        return [v for i, v in enumerate(seq) if i == 0 or v != seq[i - 1]]
+
     def collapse_labels(self, x, merge_repeats=True):
         """CTC-style: drop blanks (and optionally merge repeats)."""
-        if merge_repeats:
-            x = [lab for i, lab in enumerate(x) if i == 0 or lab != x[i - 1]]
-        return [lab for lab in x if lab != self.blank_label]
+        merged = self._dedup(list(x)) if merge_repeats else list(x)
+        return [lab for lab in merged if lab != self.blank_label]
 
     def collapse_indices_ndim(self, x, merge_repeats=True):
         """Collapse (nested) index sequences CTC-style."""
@@ -396,10 +371,9 @@ class CTCTextEncoder(TextEncoder):
             is_nested = False
         if is_nested:
             return [self.collapse_indices_ndim(sub, merge_repeats) for sub in x]
+        merged = self._dedup(list(x)) if merge_repeats else list(x)
         blank = self.get_blank_index()
-        if merge_repeats:
-            x = [ind for i, ind in enumerate(x) if i == 0 or ind != x[i - 1]]
-        return [int(ind) for ind in x if ind != blank]
+        return [int(ind) for ind in merged if ind != blank]
 
     def _get_extras(self):
         extras = super()._get_extras()

@@ -64,6 +64,10 @@ class TransformerLM(nn.Module):
             attention_type=self.attention_type,
             name="encoder",
         )
+        # reference output head: Linear -> LayerNorm(eps 1e-6) -> Linear
+        # (ref TransformerLM.py:114-118 output_proj ModuleList)
+        self.out_proj = Linear(self.d_model, name="out_proj")
+        self.out_norm = nn.LayerNorm(epsilon=1e-6, name="out_norm")
         self.out = Linear(self.vocab, name="out")
 
     def _embed(self, x):
@@ -72,12 +76,15 @@ class TransformerLM(nn.Module):
             emb = self.emb_proj(emb)
         return emb
 
+    def _head(self, x):
+        return self.out(self.out_norm(self.out_proj(x)))
+
     def __call__(self, x, hx=None, train=False):
         emb = self._embed(x)
         emb = emb + self.pos(emb)
         mask = get_lookahead_mask(x.shape[1])
         out, _ = self.encoder(emb, src_mask=mask, train=train)
-        return self.out(out)
+        return self._head(out)
 
     def init_cache(self, batch_size, max_len, dtype=jnp.float32):
         """Per-layer KV buffers for incremental scoring (score_step);
@@ -95,4 +102,4 @@ class TransformerLM(nn.Module):
         pe = self.pos(jnp.zeros((1, L, self.d_model), emb.dtype))
         emb = emb + jax.lax.dynamic_slice_in_dim(pe, step, 1, axis=1)
         out, new_cache = self.encoder(emb, cache=cache, cache_index=step)
-        return self.out(out[:, 0]), new_cache
+        return self._head(out[:, 0]), new_cache

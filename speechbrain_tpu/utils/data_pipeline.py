@@ -80,34 +80,38 @@ class GeneratorDynamicItem(DynamicItem):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self.current_generator = None
-        self.num_provided_items = 0
+        self._gen = None
+        self._stage = 0
+
+    def _mid_evaluation(self):
+        return self._gen is not None or self._stage > 0
 
     def __call__(self, *args):
-        if self.current_generator is None:
-            self.current_generator = self.func(*args)
-        out = next(self.current_generator)
-        self.num_provided_items += 1
-        if self.num_provided_items == len(self.provides):
-            self.current_generator.close()
-            self.current_generator = None
-            self.num_provided_items = 0
-        return out
+        # first stage opens the generator; each stage pulls one yield
+        gen = self._gen if self._gen is not None else self.func(*args)
+        value = next(gen)
+        self._stage += 1
+        if self._stage < len(self.provides):
+            self._gen = gen
+        else:
+            gen.close()
+            self._gen, self._stage = None, 0
+        return value
 
     def next_takes(self):
-        return self.takes if self.current_generator is None and self.num_provided_items == 0 else []
+        # inputs are consumed when the generator is opened (stage 0 only)
+        return [] if self._mid_evaluation() else self.takes
 
     def next_provides(self):
-        return [self.provides[self.num_provided_items]]
+        return [self.provides[self._stage]]
 
     def provided_in_order(self):
         return [[key] for key in self.provides]
 
     def reset(self):
-        if self.current_generator is not None:
-            self.current_generator.close()
-        self.current_generator = None
-        self.num_provided_items = 0
+        if self._gen is not None:
+            self._gen.close()
+        self._gen, self._stage = None, 0
 
 
 class CachedDynamicItem(DynamicItem):
@@ -187,21 +191,25 @@ class CachedDynamicItem(DynamicItem):
         return decorator
 
 
+def _declare(obj, field, keys):
+    """Shared body of the takes/provides decorators: wrap a bare callable
+    into the right DynamicItem flavor (generator functions get staged
+    evaluation), or fill the named spec on an existing one."""
+    if not isinstance(obj, DynamicItem):
+        cls = (
+            GeneratorDynamicItem
+            if inspect.isgeneratorfunction(obj) else DynamicItem
+        )
+        return cls(func=obj, **{field: keys})
+    if getattr(obj, field):
+        raise ValueError(f"Can't overwrite existing {field}-spec.")
+    setattr(obj, field, list(keys))
+    return obj
+
+
 def takes(*argkeys):
     """Decorator declaring the input keys of a dynamic item."""
-
-    def decorator(obj):
-        if isinstance(obj, DynamicItem):
-            if obj.takes:
-                raise ValueError("Can't overwrite existing takes-spec.")
-            obj.takes = list(argkeys)
-            return obj
-        elif inspect.isgeneratorfunction(obj):
-            return GeneratorDynamicItem(takes=argkeys, func=obj)
-        else:
-            return DynamicItem(takes=argkeys, func=obj)
-
-    return decorator
+    return lambda obj: _declare(obj, "takes", argkeys)
 
 
 takes_decorator = takes  # alias matching reference naming
@@ -209,19 +217,7 @@ takes_decorator = takes  # alias matching reference naming
 
 def provides(*output_keys):
     """Decorator declaring the output keys of a dynamic item."""
-
-    def decorator(obj):
-        if isinstance(obj, DynamicItem):
-            if obj.provides:
-                raise ValueError("Can't overwrite existing provides-spec.")
-            obj.provides = list(output_keys)
-            return obj
-        elif inspect.isgeneratorfunction(obj):
-            return GeneratorDynamicItem(func=obj, provides=output_keys)
-        else:
-            return DynamicItem(func=obj, provides=output_keys)
-
-    return decorator
+    return lambda obj: _declare(obj, "provides", output_keys)
 
 
 provides_decorator = provides  # alias matching reference naming
@@ -330,39 +326,33 @@ class DataPipeline:
         return self._compute(data, order, mapping)
 
     def _compute(self, data, order, output_mapping):
-        if self.unaccounted_keys:
-            missing = [
-                key for key in self.unaccounted_keys if key not in data
-            ]
-            if missing:
-                raise RuntimeError(
-                    f"Pipeline needs keys not provided anywhere: {missing}"
-                )
-        intermediate = {}
-        for node in list(order):
+        missing = [key for key in self.unaccounted_keys if key not in data]
+        if missing:
+            raise RuntimeError(
+                f"Pipeline needs keys not provided anywhere: {missing}"
+            )
+
+        computed = {}
+
+        def lookup(key):
+            return data[key] if key in data else computed[key]
+
+        for node in order:
             item = node.data
             if isinstance(item, StaticItem):
-                try:
-                    intermediate[item.key] = data[item.key]
-                    continue
-                except KeyError:
+                if item.key not in data:
                     raise KeyError(f"Expected key {item.key} in data.")
-            item_takes = item.next_takes()
-            args = [
-                data[argkey] if argkey in data else intermediate[argkey]
-                for argkey in item_takes
-            ]
-            provided_keys = item.next_provides()
-            values = item(*args)
-            if len(provided_keys) == 1:
-                values = [values]
-            intermediate.update(zip(provided_keys, values))
+                computed[item.key] = data[item.key]
+                continue
+            stage_keys = item.next_provides()
+            result = item(*(lookup(k) for k in item.next_takes()))
+            if len(stage_keys) == 1:
+                computed[stage_keys[0]] = result
+            else:
+                computed.update(zip(stage_keys, result))
         for item in self.dynamic_items:
             item.reset()
-        return {
-            outkey: data[inkey] if inkey in data else intermediate[inkey]
-            for outkey, inkey in output_mapping.items()
-        }
+        return {out: lookup(src) for out, src in output_mapping.items()}
 
     def get_selected_node_ids(self, selected_keys):
         return [self.key_to_node[key] for key in selected_keys]

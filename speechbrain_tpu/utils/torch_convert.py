@@ -120,6 +120,10 @@ def load_torch_state_dict_into_pytree(path, target_tree, name_map=None, strict=F
         logger.warning_once(
             f"torch->jax: {len(unmatched)} source keys unmatched, e.g. {unmatched[:5]}"
         )
+    # device arrays, not np: loaded params must be indexable by tracers
+    import jax.numpy as jnp
+
+    result = {k: jnp.asarray(v) for k, v in result.items()}
     return _unflatten(result)
 
 
@@ -226,6 +230,11 @@ def pour_torch_keys(state, variables, key_map_fn, strict=True):
         if strict:
             raise KeyError(msg)
         logger.warning(msg)
+    # device arrays, not np: poured params must be indexable by tracers
+    # (np-leaf[tracer] raises TracerArrayConversionError under jit)
+    import jax.numpy as jnp
+
+    result = {k: jnp.asarray(v) for k, v in result.items()}
     return _unflatten(result)
 
 
@@ -456,6 +465,16 @@ def split_conformer_inproj(state, nhead):
     wrong rows."""
     out = dict(state)
     for key in list(out):
+        if re.search(r"\.mha_layer\.pos_bias_[uv]$", key):
+            # torch STORES pos_bias as (head_dim, nhead) but USES it via
+            # .view(nhead, head_dim) (ref nnet/attention.py:508-513,
+            # :660-666) — the pour must RESHAPE, not transpose. A shape-
+            # based transpose silently corrupts every head whenever
+            # head_dim != nhead (square cases coincide, which is why
+            # small-dim parity tests can't catch it).
+            w = np.asarray(out[key])
+            hd, H = w.shape
+            out[key] = w.reshape(H, hd)
         m = re.match(r"^(.*)\.mha_layer\.in_proj_weight$", key)
         if m:
             w = np.asarray(out.pop(key))
@@ -1097,6 +1116,89 @@ def transformer_decoder_key_map(key):
     return None
 
 
+def _prefix_dst(dst, prefix):
+    """Re-root a delegated key-map result under ``params/<prefix>/``."""
+    if dst is None or dst is SKIP:
+        return dst
+    if isinstance(dst, tuple):
+        inner, perm = dst
+        return (_prefix_dst(inner, prefix), perm)
+    coll, rest = dst.split("/", 1)
+    return f"{coll}/{prefix}/{rest}"
+
+
+def transformer_asr_key_map(module):
+    """Factory: reference TransformerASR (lobes/models/transformer/
+    TransformerASR.py:308-322) -> our TransformerASR. Delegates
+    ``encoder.*`` to the encoder-module map and ``decoder.*`` to
+    :func:`transformer_decoder_key_map`; maps the src projection and the
+    normalized target embedding. Run the state through
+    ``split_conformer_inproj`` (RelPosMHAXL fast path) and then
+    ``split_torch_mha_inproj`` (decoder's torch MHA) first — the pour
+    registry does both inline."""
+    enc_map = {
+        "conformer": conformer_encoder_key_map,
+        "branchformer": branchformer_encoder_key_map,
+        "transformer": transformer_encoder_key_map,
+    }[module.encoder_module]
+
+    def key_map(key):
+        if key.startswith("encoder."):
+            return _prefix_dst(enc_map(key[len("encoder."):]), "encoder")
+        if key.startswith("decoder."):
+            return _prefix_dst(
+                transformer_decoder_key_map(key[len("decoder."):]), "decoder"
+            )
+        if key == "custom_src_module.layers.0.w.weight":
+            return ("params/src_proj/kernel", (1, 0))
+        if key == "custom_src_module.layers.0.w.bias":
+            return "params/src_proj/bias"
+        if key == "custom_tgt_module.layers.0.emb.Embedding.weight":
+            return "params/tgt_emb/emb/embedding"
+        if key.startswith("positional_encoding") and key.endswith(
+            (".pe", ".inv_freq")
+        ):
+            return SKIP  # fixed sinusoid/RelPos buffers; we compute them
+        return None
+
+    return key_map
+
+
+def transformerlm_key_map(key):
+    """Reference TransformerLM (lobes/models/transformer/
+    TransformerLM.py:106-118) -> our TransformerLM: normalized embedding
+    (+ optional projection), vanilla encoder stack (delegated), and the
+    Linear->LayerNorm->Linear output head. Run the state through
+    :func:`split_torch_mha_inproj` first."""
+    if key.startswith("encoder."):
+        return _prefix_dst(
+            transformer_encoder_key_map(key[len("encoder."):]), "encoder"
+        )
+    if key == "custom_src_module.emb.Embedding.weight":
+        return "params/emb/emb/embedding"
+    if key == "embedding_proj.w.weight":
+        return ("params/emb_proj/kernel", (1, 0))
+    if key == "embedding_proj.w.bias":
+        return "params/emb_proj/bias"
+    if key == "output_proj.layers.0.w.weight":
+        return ("params/out_proj/kernel", (1, 0))
+    if key == "output_proj.layers.0.w.bias":
+        return "params/out_proj/bias"
+    if key == "output_proj.layers.1.norm.weight":
+        return "params/out_norm/scale"
+    if key == "output_proj.layers.1.norm.bias":
+        return "params/out_norm/bias"
+    if key == "output_proj.layers.2.w.weight":
+        return ("params/out/kernel", (1, 0))
+    if key == "output_proj.layers.2.w.bias":
+        return "params/out/bias"
+    if key.startswith("positional_encoding") and key.endswith(
+        (".pe", ".inv_freq")
+    ):
+        return SKIP
+    return None
+
+
 def branchformer_encoder_key_map(key):
     """Reference BranchformerEncoder (Branchformer.py) -> our
     BranchformerEncoder: RelPosMHAXL attention branch + cgMLP
@@ -1293,6 +1395,8 @@ _POUR_REGISTRY = {
         [merge_lstm_biases, merge_lstmcell_biases],
         lambda m: tacotron2_key_map,
     ),
+    "TransformerASR": ([], transformer_asr_key_map),
+    "TransformerLM": ([split_torch_mha_inproj], lambda m: transformerlm_key_map),
     "DiffWave": ([], lambda m: diffwave_key_map),
     "FastSpeech2": ([split_torch_mha_inproj], lambda m: fastspeech2_key_map),
     "BEATs": ([fuse_weight_norm], lambda m: beats_key_map),
@@ -1337,8 +1441,13 @@ def pour_reference_checkpoint(module, variables, path, strict=True):
     preprocessors, map_factory = _POUR_REGISTRY[name]
     for pre in preprocessors:
         state = pre(state)
-    if name in ("ConformerEncoder", "BranchformerEncoder"):
+    if name in ("ConformerEncoder", "BranchformerEncoder", "TransformerASR"):
         # the RelPosMHAXL fast path interleaves qkv per head
         state = split_conformer_inproj(state, nhead=module.nhead)
+    if name == "TransformerASR":
+        # AFTER the RelPosMHAXL split (which consumes the encoder's
+        # `.mha_layer.in_proj_weight`): the decoder's torch MHA uses
+        # contiguous d-row blocks
+        state = split_torch_mha_inproj(state)
     return pour_torch_keys(state, variables, map_factory(module),
                            strict=strict)

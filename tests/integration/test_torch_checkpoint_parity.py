@@ -246,7 +246,10 @@ def test_conformer_encoder_torch_checkpoint_pours_to_output_parity(tmp_path):
     )
     from speechbrain.nnet.attention import RelPosEncXL as TorchRelPosEncXL
 
-    D, H, FFN, K, L = 16, 4, 32, 7, 2
+    # head_dim != nhead is load-bearing: pos_bias_u/v pours are a
+    # RESHAPE of torch's (head_dim, nhead) storage, and square head
+    # configs cannot distinguish reshape from transpose
+    D, H, FFN, K, L = 32, 2, 32, 7, 2
     tenc = TorchConformerEncoder(
         num_layers=L, d_model=D, d_ffn=FFN, nhead=H, kernel_size=K,
         dropout=0.0,
@@ -738,7 +741,8 @@ def test_branchformer_encoder_torch_checkpoint_pours_to_output_parity(
     )
     from speechbrain.nnet.attention import RelPosEncXL as TorchPE
 
-    D, H, K, CS, L = 16, 4, 7, 32, 2
+    # non-square head config (see conformer test note on pos_bias)
+    D, H, K, CS, L = 32, 2, 7, 32, 2
     tenc = TorchBF(num_layers=L, d_model=D, nhead=H, kernel_size=K,
                    csgu_linear_units=CS, dropout=0.0).eval()
     rng = np.random.default_rng(13)

@@ -27,6 +27,34 @@ def _rows():
             yield pytest.param(row, id=row["recipe_dir"], marks=marks)
 
 
+def test_recipe_flags_are_well_formed():
+    """Guard flag INTEGRITY, not just row presence: an unquoted comma in
+    a list-valued flag silently truncates the row at CSV parse time (it
+    happened — commit fdaa427), so the row runs with fewer overrides
+    than intended. Every parsed row must carry exactly the four fields,
+    every flag must look like ``--name[=value]``, and nothing may leak
+    into a fifth column."""
+    with open(CSV, newline="") as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        assert header == ["recipe_dir", "script", "hparams",
+                          "test_debug_flags"]
+        for lineno, row in enumerate(reader, start=2):
+            assert len(row) == 4, (
+                f"line {lineno}: {len(row)} fields (unquoted comma?): {row}"
+            )
+            flags = row[3]
+            if flags.startswith("SKIP"):
+                continue
+            for tok in flags.split():
+                assert tok.startswith("--"), (
+                    f"line {lineno}: malformed flag {tok!r} in {flags!r}"
+                )
+            assert "--debug" in flags.split(), (
+                f"line {lineno}: debug run must pass --debug: {flags!r}"
+            )
+
+
 def test_all_recipes_registered():
     """Every recipe train script on disk must have a CSV row
     (the reference's tests/consistency/test_recipe.py contract)."""
