@@ -357,23 +357,27 @@ class AttentionalRNNDecoder(nn.Module):
         )
         from speechbrain_tpu.nnet.linear import Linear
 
+        # context vectors have size attn_dim, the reference convention
+        # (ref nnet/RNN.py:874-899 passes output_dim=attn_dim; the cell
+        # consumes input_size + attn_dim and proj maps
+        # hidden + attn_dim -> hidden) — required for checkpoint pours
         if self.attn_type == "content":
             self.attn = ContentBasedAttention(
                 attn_dim=self.attn_dim,
-                output_dim=self.hidden_size,
+                output_dim=self.attn_dim,
                 scaling=self.scaling,
             )
         elif self.attn_type == "location":
             self.attn = LocationAwareAttention(
                 attn_dim=self.attn_dim,
-                output_dim=self.hidden_size,
+                output_dim=self.attn_dim,
                 conv_channels=self.channels,
                 kernel_size=self.kernel_size,
                 scaling=self.scaling,
             )
         elif self.attn_type == "keyvalue":
             self.attn = KeyValueAttention(
-                attn_dim=self.attn_dim, output_dim=self.hidden_size
+                attn_dim=self.attn_dim, output_dim=self.attn_dim
             )
         else:
             raise ValueError(f"Unknown attn_type {self.attn_type}")
@@ -408,7 +412,7 @@ class AttentionalRNNDecoder(nn.Module):
         (decoders/seq2seq.py permute_mem)."""
         return {
             "hidden": jnp.zeros((batch, self.num_layers, self.hidden_size), dtype),
-            "context": jnp.zeros((batch, self.hidden_size), dtype),
+            "context": jnp.zeros((batch, self.attn_dim), dtype),
             "prev_attn": None,
         }
 
@@ -429,7 +433,8 @@ class AttentionalRNNDecoder(nn.Module):
             )
         else:
             context, attn = self.attn(enc_states, enc_len, dec_out)
-        out = self.proj(jnp.concatenate([dec_out, context], axis=-1))
+        # reference concat order: [context, cell_out] (ref RNN.py:964)
+        out = self.proj(jnp.concatenate([context, dec_out], axis=-1))
         new_state = {
             "hidden": jnp.stack(hs, axis=1),
             "context": context,

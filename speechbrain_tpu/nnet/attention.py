@@ -100,8 +100,14 @@ class LocationAwareAttention(nn.Module):
         query = Linear(self.attn_dim, name="mlp_dec")(dec_states)[:, None, :]
         loc = Conv1d(
             out_channels=self.conv_channels,
-            kernel_size=self.kernel_size,
+            # the reference convolves with a 2k+1 window centered on each
+            # frame (ref nnet/attention.py:178-184: kernel_size=2*k+1,
+            # padding=k) — 'same' padding on the odd kernel is identical
+            kernel_size=2 * self.kernel_size + 1,
             padding="same",
+            # raw torch Conv1d zero-pads (ref attention.py:178), unlike
+            # the sb Conv1d wrapper's reflect default
+            padding_mode="constant",
             bias=False,
             name="conv_loc",
         )(prev_attn[..., None])

@@ -1116,6 +1116,36 @@ def transformer_decoder_key_map(key):
     return None
 
 
+def attentional_rnn_decoder_key_map(key):
+    """Reference AttentionalRNNDecoder (nnet/RNN.py:767: GRU/LSTM cell
+    stack + content/location attention + output proj) -> our
+    AttentionalRNNDecoder. Covers the CRDNN seq2seq decoder of
+    asr-crdnn-rnnlm-librispeech checkpoints."""
+    m = re.match(r"^rnn\.rnn_cells\.(\d+)\.(weight|bias)_(ih|hh)$", key)
+    if m:
+        layer, kind, which = m.groups()
+        if which == "ih":
+            # input projection lives in the wx_{l} Linear
+            leaf = "kernel" if kind == "weight" else "bias"
+            dst = f"params/wx_{layer}/{leaf}"
+            return (dst, (1, 0)) if kind == "weight" else dst
+        # recurrent weights are bare params wh_{l} / bh_{l}
+        if kind == "weight":
+            return (f"params/wh_{layer}", (1, 0))
+        return f"params/bh_{layer}"
+    k = key
+    if k.startswith("attn.") or k.startswith("proj."):
+        stem, leaf = k.rsplit(".", 1)
+        path = "params/" + stem.replace(".", "/")
+        if leaf == "bias":
+            return path + "/bias"
+        if leaf == "weight":
+            if ".conv_loc" in k:
+                return path + "/kernel"  # (out,in,K) rides the 3-D pass
+            return (path + "/kernel", (1, 0))
+    return None
+
+
 def _prefix_dst(dst, prefix):
     """Re-root a delegated key-map result under ``params/<prefix>/``."""
     if dst is None or dst is SKIP:
@@ -1395,6 +1425,7 @@ _POUR_REGISTRY = {
         [merge_lstm_biases, merge_lstmcell_biases],
         lambda m: tacotron2_key_map,
     ),
+    "AttentionalRNNDecoder": ([], lambda m: attentional_rnn_decoder_key_map),
     "TransformerASR": ([], transformer_asr_key_map),
     "TransformerLM": ([split_torch_mha_inproj], lambda m: transformerlm_key_map),
     "DiffWave": ([], lambda m: diffwave_key_map),

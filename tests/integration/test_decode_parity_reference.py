@@ -377,3 +377,247 @@ def test_buffer_searcher_matches_reference_fused(
     ref_hyps, _ = _reference_hyps(trained_torch_models, feats, FUSED)
     our_hyps, _ = _our_hyps(poured_jax_models, feats, FUSED, kv=False)
     assert our_hyps == [list(h) for h in ref_hyps]
+
+
+# ---------------------------------------------------------------------------
+# CRDNN-style RNN decoder + RNNLM fusion (ref S2SRNNBeamSearcher :1752)
+# ---------------------------------------------------------------------------
+
+ENC_D, EMB_D, HID, ATTN_D = 20, 24, 32, 16
+T_ENC = 20
+
+
+def _rnn_synthetic_batch(rng, batch):
+    """Synthetic 'encoder states': each target token paints 4 frames."""
+    targets = rng.integers(3, V, size=(batch, TGT_LEN))
+    patterns = np.asarray(
+        np.random.default_rng(13).standard_normal((V, ENC_D)), np.float32
+    )
+    enc = np.zeros((batch, T_ENC, ENC_D), np.float32)
+    for b in range(batch):
+        for j in range(TGT_LEN):
+            enc[b, j * 4:(j + 1) * 4] = patterns[targets[b, j]]
+    enc += 0.05 * rng.standard_normal(enc.shape).astype(np.float32)
+    return enc, targets
+
+
+@pytest.fixture(scope="module")
+def trained_rnn_torch_models():
+    _install_ref()
+    torch.manual_seed(1234)
+    from speechbrain.lobes.models.RNNLM import RNNLM as TorchRNNLM
+    from speechbrain.nnet.RNN import AttentionalRNNDecoder as TorchDec
+    from speechbrain.nnet.linear import Linear as TorchLinear
+
+    temb = torch.nn.Embedding(V, EMB_D)
+    tdec = TorchDec(
+        rnn_type="gru", attn_type="location", hidden_size=HID,
+        attn_dim=ATTN_D, num_layers=1, enc_dim=ENC_D, input_size=EMB_D,
+        channels=4, kernel_size=3, dropout=0.0,
+    )
+    tseq = TorchLinear(input_size=HID, n_neurons=V)
+    tlm = TorchRNNLM(
+        output_neurons=V, embedding_dim=16, rnn_layers=1, rnn_neurons=32,
+        dnn_blocks=1, dnn_neurons=32, dropout=0.0, return_hidden=True,
+    )
+
+    rng = np.random.default_rng(31)
+    enc, targets = _rnn_synthetic_batch(rng, 16)
+    enc_t = torch.from_numpy(enc)
+    y = torch.from_numpy(targets).long()
+    y_bos = torch.cat([torch.full((16, 1), BOS).long(), y], dim=1)
+    y_eos = torch.cat([y, torch.full((16, 1), EOS).long()], dim=1)
+    wl = torch.ones(16)
+    opt = torch.optim.Adam(
+        [*temb.parameters(), *tdec.parameters(), *tseq.parameters()], lr=3e-3
+    )
+    for _ in range(200):
+        opt.zero_grad()
+        out, _ = tdec(temb(y_bos), enc_t, wl)
+        torch.nn.functional.cross_entropy(
+            tseq(out).reshape(-1, V), y_eos.reshape(-1)
+        ).backward()
+        opt.step()
+    opt_lm = torch.optim.Adam(tlm.parameters(), lr=3e-3)
+    for _ in range(120):
+        opt_lm.zero_grad()
+        pred, _ = tlm(y_bos)
+        torch.nn.functional.cross_entropy(
+            pred.reshape(-1, V), y_eos.reshape(-1)
+        ).backward()
+        opt_lm.step()
+    tdec.eval(), tlm.eval()
+    return temb, tdec, tseq, tlm
+
+
+@pytest.fixture(scope="module")
+def poured_rnn_jax_models(trained_rnn_torch_models, tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.lobes.models.RNNLM import RNNLM
+    from speechbrain_tpu.nnet.embedding import Embedding
+    from speechbrain_tpu.nnet.linear import Linear
+    from speechbrain_tpu.nnet.RNN import AttentionalRNNDecoder
+    from speechbrain_tpu.utils.torch_convert import (
+        load_torch_state_dict_into_pytree,
+        pour_reference_checkpoint,
+    )
+
+    temb, tdec, tseq, tlm = trained_rnn_torch_models
+    tmp = tmp_path_factory.mktemp("rnn_ckpts")
+    rng = jax.random.PRNGKey(0)
+
+    emb = Embedding(num_embeddings=V, embedding_dim=EMB_D)
+    v_emb = emb.init(rng, jnp.zeros((2, 3), jnp.int32))
+    dec = AttentionalRNNDecoder(
+        hidden_size=HID, attn_dim=ATTN_D, num_layers=1, rnn_type="gru",
+        attn_type="location", channels=4, kernel_size=3, dropout=0.0,
+    )
+    enc0 = jnp.zeros((2, T_ENC, ENC_D))
+    v_dec = dec.init(
+        rng, jnp.zeros((2, 3, EMB_D)), enc0, jnp.ones((2,))
+    )
+    seq_lin = Linear(n_neurons=V)
+    v_seq = seq_lin.init(rng, jnp.zeros((2, HID)))
+    lm = RNNLM(
+        output_neurons=V, embedding_dim=16, rnn_layers=1, rnn_neurons=32,
+        dnn_blocks=1, dnn_neurons=32, dropout=0.0,
+    )
+    v_lm = lm.init(rng, jnp.zeros((2, 3), jnp.int32))
+
+    p = tmp / "emb.ckpt"; torch.save(temb.state_dict(), p)
+    v_emb = load_torch_state_dict_into_pytree(str(p), v_emb)
+    p = tmp / "dec.ckpt"; torch.save(tdec.state_dict(), p)
+    v_dec = pour_reference_checkpoint(dec, v_dec, str(p), strict=True)
+    p = tmp / "seq.ckpt"; torch.save(tseq.state_dict(), p)
+    v_seq = load_torch_state_dict_into_pytree(str(p), v_seq)
+    p = tmp / "lm.ckpt"; torch.save(tlm.state_dict(), p)
+    v_lm = pour_reference_checkpoint(lm, v_lm, str(p), strict=True)
+    return emb, v_emb, dec, v_dec, seq_lin, v_seq, lm, v_lm
+
+
+def test_rnn_decoder_pour_matches_torch(
+    trained_rnn_torch_models, poured_rnn_jax_models
+):
+    """Teacher-forced decoder + LM outputs agree post-pour."""
+    import jax.numpy as jnp
+
+    temb, tdec, tseq, tlm = trained_rnn_torch_models
+    emb, v_emb, dec, v_dec, seq_lin, v_seq, lm, v_lm = poured_rnn_jax_models
+    rng = np.random.default_rng(7)
+    enc, _ = _rnn_synthetic_batch(rng, 4)
+    toks = np.asarray([[BOS, 5, 9], [BOS, 4, 3], [BOS, 7, 7], [BOS, 3, 9]])
+    with torch.no_grad():
+        tout, _ = tdec(
+            temb(torch.from_numpy(toks).long()),
+            torch.from_numpy(enc), torch.ones(4),
+        )
+        tlm_out, _ = tlm(torch.from_numpy(toks).long())
+    jemb = emb.apply(v_emb, jnp.asarray(toks))
+    jout, _ = dec.apply(
+        v_dec, jemb, jnp.asarray(enc), jnp.ones((4,))
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout), tout.numpy(), rtol=2e-3, atol=2e-3
+    )
+    jlm, _ = lm.apply(v_lm, jnp.asarray(toks))
+    np.testing.assert_allclose(
+        np.asarray(jlm), tlm_out.numpy(), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_rnn_decode_matches_reference_token_for_token(
+    trained_rnn_torch_models, poured_rnn_jax_models
+):
+    """Reference S2SRNNBeamSearcher + RNNLMScorer vs ours: identical
+    hypotheses on the same poured checkpoint (location-aware attention,
+    eos threshold + length norm on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain.decoders.scorer import (
+        RNNLMScorer as RefRNNLMScorer,
+        ScorerBuilder as RefScorerBuilder,
+    )
+    from speechbrain.decoders.seq2seq import (
+        S2SRNNBeamSearcher as RefRNNSearcher,
+    )
+
+    from speechbrain_tpu.decoders.scorer import RNNLMScorer, ScorerBuilder
+    from speechbrain_tpu.decoders.seq2seq import S2SRNNBeamSearcher
+
+    temb, tdec, tseq, tlm = trained_rnn_torch_models
+    emb, v_emb, dec, v_dec, seq_lin, v_seq, lm, v_lm = poured_rnn_jax_models
+
+    enc, _ = _rnn_synthetic_batch(np.random.default_rng(41), BATCH)
+    beam_cfg = dict(
+        bos_index=BOS, eos_index=EOS, min_decode_ratio=0.0,
+        max_decode_ratio=0.5, beam_size=5, using_eos_threshold=True,
+        eos_threshold=1.5, length_normalization=True,
+    )
+
+    ref_scorer = RefScorerBuilder(
+        full_scorers=[RefRNNLMScorer(language_model=tlm, temperature=1.0)],
+        weights={"rnnlm": 0.4},
+    )
+    ref_searcher = RefRNNSearcher(
+        embedding=temb, decoder=tdec, linear=tseq, temperature=1.0,
+        scorer=ref_scorer, **beam_cfg,
+    )
+    with torch.no_grad():
+        ref_hyps, _, ref_scores, _ = ref_searcher(
+            torch.from_numpy(enc), torch.ones(BATCH)
+        )
+
+    # ours: state pytrees are batch-leading for the beam permute; the
+    # LM's (layers, batch, hid) LSTM state is transposed at the boundary
+    def lm_fn(tokens, state):
+        hx = jax.tree_util.tree_map(
+            lambda t: jnp.moveaxis(t, 0, 1), state
+        )
+        logits, new_state = lm.apply(v_lm, tokens, hx=hx)
+        return logits, jax.tree_util.tree_map(
+            lambda t: jnp.moveaxis(t, 0, 1), new_state
+        )
+
+    def lm_init(n):
+        z = jnp.zeros((n, 1, 32))
+        return (z, z)  # (batch, layers, hid) h/c pair
+
+    scorer = ScorerBuilder(
+        weights={"rnnlm": 0.4},
+        full_scorers={"rnnlm": RNNLMScorer(lm_fn, lm_init, temperature=1.0)},
+    )
+
+    def step_fn(inp_tokens, memory, enc_states, enc_lens):
+        e = emb.apply(v_emb, inp_tokens[:, None])[:, 0]
+        out, new_state, attn = dec.apply(
+            v_dec, e, memory, enc_states, enc_lens, method="forward_step"
+        )
+        logits = seq_lin.apply(v_seq, out)
+        return jax.nn.log_softmax(logits, axis=-1), new_state, attn
+
+    def init_fn(batch_size, enc_states, enc_lens):
+        state = dec.init_state(batch_size, enc_states.shape[1])
+        T = enc_states.shape[1]
+        mask0 = (
+            jnp.arange(T)[None, :] < jnp.round(enc_lens * T)[:, None]
+        ).astype(jnp.float32)
+        state["prev_attn"] = mask0 / jnp.maximum(
+            mask0.sum(-1, keepdims=True), 1.0
+        )
+        return state
+
+    searcher = S2SRNNBeamSearcher(
+        step_fn=step_fn, init_fn=init_fn, scorer=scorer, **beam_cfg,
+    )
+    our_hyps, _, our_scores, _ = searcher(
+        jnp.asarray(enc), jnp.ones((BATCH,))
+    )
+    assert our_hyps == [list(h) for h in ref_hyps], (
+        f"RNN hypothesis mismatch\nref: {ref_hyps}\nours: {our_hyps}"
+    )
+    np.testing.assert_allclose(
+        our_scores, np.asarray(ref_scores), rtol=1e-2, atol=1e-2
+    )
