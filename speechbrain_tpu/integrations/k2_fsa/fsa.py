@@ -332,3 +332,111 @@ def intersect_viterbi(log_probs, n_frames, fsa):
             olabels.append(o)
         state = int(fsa.arcs[k, 0])
     return score, olabels[::-1]
+
+
+def intersect_viterbi_batch(log_probs, n_frames, fsa):
+    """Batched one-best: the Viterbi scan runs as ONE vmapped device
+    program over the whole batch (the round-3 decoder looped utterances
+    on the host); backtraces stay host-side. Returns a list of
+    (score, olabels)."""
+    import jax
+    import jax.numpy as jnp
+
+    log_probs = jnp.asarray(log_probs)
+    n_frames = jnp.asarray(n_frames, jnp.int32)
+    last, _, bps = jax.vmap(
+        lambda lp, n: _intersect_scan(lp, n, fsa, "max")
+    )(log_probs, n_frames)
+    vals = np.asarray(last + jnp.asarray(fsa.final)[None])
+    bps = np.asarray(bps)
+    n_frames = np.asarray(n_frames)
+    out = []
+    for b in range(log_probs.shape[0]):
+        state = int(np.argmax(vals[b]))
+        score = float(vals[b, state])
+        olabels = []
+        for t in range(int(n_frames[b]) - 1, -1, -1):
+            k = int(bps[b, t, state])
+            if k < 0:
+                break
+            o = int(fsa.arcs[k, 3])
+            if o != EPS:
+                olabels.append(o)
+            state = int(fsa.arcs[k, 0])
+        out.append((score, olabels[::-1]))
+    return out
+
+
+def intersect_kbest(log_probs, n_frames, fsa, k):
+    """Top-``k`` best paths of the eps-free ``fsa`` against ``log_probs``
+    (T, V): a k-best Viterbi DP — per state the k best incoming
+    (arc, predecessor-slot) extensions each frame, all jitted; the
+    backtrace is host-side. Returns up to k (score, olabels) pairs,
+    best first. This is the deterministic native analogue of the
+    reference's k2 ``nbest`` path sampling (lattice_decoder.py:453) —
+    exact top-k instead of random paths."""
+    import jax
+    import jax.numpy as jnp
+
+    log_probs = jnp.asarray(log_probs)
+    src = jnp.asarray(fsa.arcs[:, 0])
+    dst = jnp.asarray(fsa.arcs[:, 1])
+    ilab = jnp.asarray(fsa.arcs[:, 2])
+    w = jnp.asarray(fsa.weights)
+    A, S = len(fsa.weights), fsa.num_states
+    seg = jnp.repeat(dst, k)  # flat (A*k,) segment ids
+    init = jnp.full((S, k), NEG_INF).at[0, 0].set(0.0)
+
+    def body(carry, t):
+        dp = carry  # (S, k)
+        ext = dp[src] + (w + log_probs[t, ilab])[:, None]  # (A, k)
+        vals = jnp.where(t < n_frames, ext.reshape(-1), NEG_INF)
+        new = []
+        bpt = []
+        for _ in range(k):
+            m = jax.ops.segment_max(vals, seg, num_segments=S)
+            # smallest flat index achieving the per-segment max
+            hit = vals >= m[seg] - 1e-6
+            idx = jax.ops.segment_min(
+                jnp.where(hit, jnp.arange(A * k), A * k), seg,
+                num_segments=S,
+            )
+            valid = m > NEG_INF / 2
+            new.append(jnp.where(valid, m, NEG_INF))
+            bpt.append(jnp.where(valid, idx, -1))
+            # knock the chosen elements out for the next round (invalid
+            # segments write a dummy padded slot, so every scatter value
+            # is NEG_INF and collisions are harmless)
+            idx_c = jnp.where(valid, idx, A * k)
+            vals = jnp.concatenate([vals, jnp.array([NEG_INF])])
+            vals = vals.at[idx_c].set(NEG_INF)[: A * k]
+        new = jnp.stack(new, axis=1)  # (S, k)
+        bpt = jnp.stack(bpt, axis=1).astype(jnp.int32)
+        new = jnp.where(t < n_frames, new, dp)
+        bpt = jnp.where(t < n_frames, bpt, -1)
+        return new, bpt
+
+    T = log_probs.shape[0]
+    last, bps = jax.lax.scan(body, init, jnp.arange(T))
+    vals = np.asarray(last + np.asarray(fsa.final)[:, None])  # (S, k)
+    bps = np.asarray(bps)  # (T, S, k) flat index into (A*k) or -1
+    order = np.argsort(-vals.reshape(-1), kind="stable")[:k]
+    out = []
+    for flat in order:
+        state, slot = divmod(int(flat), k)
+        score = float(vals[state, slot])
+        if score <= NEG_INF / 2:
+            break
+        olabels = []
+        s, j = state, slot
+        for t in range(int(n_frames) - 1, -1, -1):
+            fidx = int(bps[t, s, j])
+            if fidx < 0:
+                break
+            arc, j = divmod(fidx, k)
+            o = int(fsa.arcs[arc, 3])
+            if o != EPS:
+                olabels.append(o)
+            s = int(fsa.arcs[arc, 0])
+        out.append((score, olabels[::-1]))
+    return out
