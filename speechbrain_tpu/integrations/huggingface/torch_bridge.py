@@ -40,7 +40,14 @@ class TorchHFBridge:
             config = transformers.AutoConfig.from_pretrained(
                 source, cache_dir=save_path or None, **kwargs
             )
-            self.model = cls(config)
+            # Auto* classes can't be instantiated directly; dispatch on
+            # the config type instead (the MERT wrapper's AutoModel path)
+            if hasattr(cls, "from_config") and model_class_name.startswith(
+                "Auto"
+            ):
+                self.model = cls.from_config(config)
+            else:
+                self.model = cls(config)
         else:
             self.model = cls.from_pretrained(
                 source, cache_dir=save_path or None, **kwargs
