@@ -52,15 +52,23 @@ class Cnn14(nn.Module):
     def __call__(self, x, train=False):
         y = x[..., None]
         ch = self.base_channels
+        reps = []
         for b in range(6):
             y = ConvBlock(out_channels=min(ch, self.emb_dim), name=f"block_{b}")(
                 y, train=train
             )
             if b < 5:
                 y = Pooling2d("avg", (2, 2), name=f"pool_{b}")(y)
+            if b >= 3:
+                reps.append(y)  # multi-resolution maps for interpreters
             ch *= 2
         # collapse frequency, keep time
         y = jnp.mean(y, axis=2)  # (B, T', C)
         from speechbrain_tpu.nnet.linear import Linear
 
-        return jax.nn.relu(Linear(self.emb_dim, name="fc")(y))
+        emb = jax.nn.relu(Linear(self.emb_dim, name="fc")(y))
+        if self.return_reps:
+            # coarsest first, channels-last (the L2I/PIQ/L-MAC contract,
+            # reference Cnn14.py:422 returns the analogous torch maps)
+            return emb, reps[::-1]
+        return emb

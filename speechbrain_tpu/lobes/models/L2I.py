@@ -49,9 +49,12 @@ class Psi(nn.Module):
         x2 = _upsample2(x2)
         x1 = nn.relu(nn.Conv(out_c, (3, 3), padding="SAME", name="c1")(x1))
         x2 = nn.relu(nn.Conv(out_c, (3, 3), padding="SAME", name="c2")(x2))
-        # pad one frequency column to line up with the CNN14 grid
-        x1 = jnp.pad(x1, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        # land exactly on the fine map's grid (the reference pads one
+        # frequency column for CNN14's odd grid, ref L2I.py:15; a resize
+        # covers every grid parity)
+        B, H3, W3, _ = x3.shape
+        x1 = jax.image.resize(x1, (B, H3, W3, x1.shape[-1]), "bilinear")
+        x2 = jax.image.resize(x2, (B, H3, W3, x2.shape[-1]), "bilinear")
         x = jnp.concatenate([x1, x2, x3], axis=-1)
 
         # stretch time to T and collapse the frequency axis

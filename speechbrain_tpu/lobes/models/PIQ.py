@@ -170,8 +170,11 @@ class VectorQuantizedPSI_Audio(nn.Module):
         if self.use_adapter:
             self.adapter = ResBlockAudio(self.dim, name="adapter")
             if self.adapter_reduce_dim:
+                # SAME keeps ceil(n/2) spatial dims — the reference's
+                # k4/s2/p1 halving floors to ZERO on 1-wide classifier
+                # maps (empty tensors poison the VQ loss with NaN)
                 self.down = nn.Conv(self.dim, (4, 4), strides=(2, 2),
-                                    padding=1, name="down")
+                                    padding="SAME", name="down")
                 self.up = nn.ConvTranspose(self.dim, (4, 4), strides=(2, 2),
                                            padding="SAME", name="up")
         decs = []
