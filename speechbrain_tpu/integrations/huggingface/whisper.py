@@ -41,6 +41,16 @@ class Whisper(HFTransformersInterface):
         self.encoder_only = encoder_only
         self.freeze_encoder = freeze_encoder
         self._mel = None
+        if self.processor is None:
+            # build + warm the fallback mel frontend EAGERLY: STFT
+            # memoizes its DFT matrices on first call, and a first call
+            # under jit would cache leaked tracers
+            from speechbrain_tpu.lobes.features import Fbank
+
+            self._mel = Fbank(
+                n_mels=80, n_fft=400, hop_length=10, win_length=25
+            )
+            self._mel(jnp.zeros((1, 400), jnp.float32))
         self.tokenizer = None
         try:
             self.tokenizer = transformers.WhisperTokenizer.from_pretrained(
