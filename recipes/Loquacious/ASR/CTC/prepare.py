@@ -25,7 +25,7 @@ def prepare_synthetic(data_folder, n_utt=10, sample_rate=16000):
         # in the train split, so the valid split has no OOV characters
         words = [(i + j) % len(WORDS) for j in range(3)]
         sig = np.concatenate([
-            np.sin(2 * np.pi * (220 + 90 * w) * np.arange(1600) / sample_rate)
+            np.sin(2 * np.pi * (220 + 90 * w) * np.arange(6400) / sample_rate)
             for w in words
         ]).astype(np.float32)
         path = root / f"talk{i}.wav"

@@ -135,6 +135,14 @@ def _train_bpe(texts, vocab_size, character_coverage=1.0, user_symbols=()):
         for word, freq in word_freq.items()
     }
     pieces = ["<unk>"] + list(user_symbols) + sorted(kept)
+    if len(pieces) > vocab_size:
+        # real sentencepiece refuses too; silently overflowing emits ids
+        # >= vocab_size and poisons every downstream loss with NaN
+        raise ValueError(
+            f"vocab_size={vocab_size} is smaller than the base inventory "
+            f"({len(pieces)}: unk + user symbols + {len(kept)} chars); "
+            "raise vocab_size or lower character_coverage"
+        )
     merges = []
     while len(pieces) < vocab_size:
         pair_freq = collections.Counter()
