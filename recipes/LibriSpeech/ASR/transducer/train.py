@@ -47,6 +47,13 @@ class TransducerASR(sb.Brain):
         enc, _ = self.module_apply(
             "encoder", params, state, feats, wav_len=wav_lens, train=train,
             mutable_state=[], method="encode",
+            # streaming configs (conformer_transducer_streaming.yaml)
+            # sample a chunked-attention pattern per batch
+            **(
+                {"dynchunktrain_config":
+                 self.hparams.dynchunktrain_config_sampler(stage)}
+                if getattr(self.hparams, "streaming", False) else {}
+            ),
             rngs={"dropout": rng} if train else None,
         )
         enc_proj, _ = self.module_apply(

@@ -313,6 +313,10 @@ class SepformerWrapper(nn.Module):
     inter_use_positional: bool = True
     intra_norm_before: bool = True
     inter_norm_before: bool = True
+    # "transformer" = SepFormer; "rnn" = DPRNN (SBRNNBlock intra/inter,
+    # reference dual_path.py:471 + the dprnn.yaml recipes)
+    block_type: str = "transformer"
+    rnn_hidden: int = 128
 
     @nn.compact
     def __call__(self, mix, train=False):
@@ -322,24 +326,38 @@ class SepformerWrapper(nn.Module):
             out_channels=self.encoder_out_nchannels,
             name="encoder",
         )(mix)
-        intra = SBTransformerBlock(
-            num_layers=self.intra_numlayers,
-            d_model=self.encoder_out_nchannels,
-            nhead=self.intra_nhead,
-            d_ffn=self.intra_dffn,
-            use_positional_encoding=self.intra_use_positional,
-            norm_before=self.intra_norm_before,
-            name="intra",
-        )
-        inter = SBTransformerBlock(
-            num_layers=self.inter_numlayers,
-            d_model=self.encoder_out_nchannels,
-            nhead=self.inter_nhead,
-            d_ffn=self.inter_dffn,
-            use_positional_encoding=self.inter_use_positional,
-            norm_before=self.inter_norm_before,
-            name="inter",
-        )
+        if self.block_type == "rnn":
+            intra = SBRNNBlock(
+                hidden_channels=self.rnn_hidden,
+                out_channels=self.encoder_out_nchannels,
+                num_layers=self.intra_numlayers,
+                name="intra",
+            )
+            inter = SBRNNBlock(
+                hidden_channels=self.rnn_hidden,
+                out_channels=self.encoder_out_nchannels,
+                num_layers=self.inter_numlayers,
+                name="inter",
+            )
+        else:
+            intra = SBTransformerBlock(
+                num_layers=self.intra_numlayers,
+                d_model=self.encoder_out_nchannels,
+                nhead=self.intra_nhead,
+                d_ffn=self.intra_dffn,
+                use_positional_encoding=self.intra_use_positional,
+                norm_before=self.intra_norm_before,
+                name="intra",
+            )
+            inter = SBTransformerBlock(
+                num_layers=self.inter_numlayers,
+                d_model=self.encoder_out_nchannels,
+                nhead=self.inter_nhead,
+                d_ffn=self.inter_dffn,
+                use_positional_encoding=self.inter_use_positional,
+                norm_before=self.inter_norm_before,
+                name="inter",
+            )
         masks = DualPathModel(
             in_channels=self.encoder_out_nchannels,
             out_channels=self.encoder_out_nchannels,

@@ -141,6 +141,9 @@ class UNetModel(nn.Module):
             ch = self.model_channels * mult
             for b in range(self.num_res_blocks + 1):
                 skip = skips.pop()
+                # odd spatial dims upsample one past the skip; crop to
+                # the skip's grid (standard UNet robustness)
+                h = h[:, : skip.shape[1], : skip.shape[2]]
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResBlock(out_channels=ch, name=f"up_{level}_{b}")(h, emb)
             if level != 0:
