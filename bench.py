@@ -10,8 +10,13 @@ this container's CPU — the reference's actual compute substrate here.
 Flags:
   --fbank    mel-frontend microbench (vs torch-CPU STFT+mel pipeline)
   --decode   encoder + on-device transformer beam search (beam=4)
+  --full-decode  north star at the PUBLISHED decode config (beam=66,
+                 max_decode_ratio=1.0; no CPU baseline — see main())
   --bf16     run encoder params/activations in bfloat16
   --no-baseline  skip the torch baseline (vs_baseline = null)
+
+The north-star lines carry analytic {"mfu_encode", "mfu_decode"} fields
+(model FLOPs / measured phase time / v5e bf16 peak).
 """
 
 import functools
@@ -392,11 +397,50 @@ def bench_train(bf16=False, remat=False):
     return ASR["batch"] * ASR["seconds"] / dt
 
 
-def bench_northstar(bf16=True):
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
+
+
+def _encoder_flops(C, T):
+    """Analytic forward FLOPs of the conformer-large encoder on T frames
+    (per utterance): per layer 2x half-FFNs + MHSA + conv module, 2
+    FLOPs per MAC."""
+    d, ffn, K = C["d_model"], C["d_ffn"], C["kernel_size"]
+    per_layer = (
+        2 * (2 * 2 * d * ffn) * T          # two macaron FFNs
+        + 2 * 4 * d * d * T                # qkv + out projections
+        + 2 * 2 * T * T * d                # scores + weighted sum
+        + 2 * (2 * d * 2 * d) * T          # conv pw1 (GLU)
+        + 2 * d * K * T                    # depthwise
+        + 2 * d * d * T                    # conv pw2
+    )
+    return C["enc_layers"] * per_layer
+
+
+def _decode_step_flops(C, enc_T, beam):
+    """Analytic FLOPs of ONE fused decode step for ONE utterance:
+    beam x (decoder layers (self+cross+ffn) + LM layer stack + heads)."""
+    d, ffn = C["d_model"], C["d_ffn"]
+    dec = C["dec_layers"] * (
+        2 * 4 * d * d            # self qkv+out (one position)
+        + 2 * 2 * enc_T * d      # cross attention reads
+        + 2 * 2 * d * ffn        # ffn
+    )
+    lm = C["lm_layers"] * (
+        2 * 4 * C["lm_d_model"] * C["lm_d_model"]
+        + 2 * 2 * C["lm_d_model"] * C["lm_d_ffn"]
+    )
+    heads = 2 * d * C["vocab"] + 2 * C["lm_d_model"] * C["vocab"]
+    return beam * (dec + lm + heads)
+
+
+def bench_northstar(bf16=True, full_decode=False):
     """North-star `transcribe_batch` throughput: fbank -> conv frontend ->
     conformer-large encoder -> KV-cached joint CTC/attention beam search
     with TransformerLM shallow fusion (ScorerBuilder: partial CTC prefix +
-    full KV-cached LM), in bfloat16 by default. Returns audio-s/s."""
+    full KV-cached LM), in bfloat16 by default. Returns (audio-s/s,
+    {"mfu_encode", "mfu_decode"}). ``full_decode`` runs the PUBLISHED
+    test-config decode (beam=66, max_decode_ratio=1.0, ref
+    conformer_large.yaml) instead of the scaled config."""
     import jax
     import jax.numpy as jnp
 
@@ -417,7 +461,9 @@ def bench_northstar(bf16=True):
     from speechbrain_tpu.nnet.linear import Linear
     from speechbrain_tpu.utils.data_utils import pad_time_to_multiple
 
-    C = NORTH
+    C = dict(NORTH)
+    if full_decode:
+        C["beam"], C["max_decode_ratio"] = 66, 1.0
     fbank = Fbank(n_mels=N_MELS)
     frontend = ConvolutionFrontEnd(
         num_blocks=2, out_channels=(64, 32), kernel_sizes=(3, 3),
@@ -543,12 +589,35 @@ def bench_northstar(bf16=True):
     _progress("encoder done; compiling+running beam search...")
     transcribe(wavs, lens)  # compile + run
     _progress("beam search compiled; timing...")
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        transcribe(wavs, lens)
-    dt = (time.perf_counter() - t0) / iters
-    return C["batch"] * C["seconds"] / dt
+    # median of 3 warm runs, with encode/decode phases timed separately
+    # for the MFU estimates
+    enc_times, tot_times = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        enc, lens_p = encode_j(wavs, lens)
+        jax.block_until_ready(enc)
+        t1 = time.perf_counter()
+        searcher(enc, lens_p)
+        t2 = time.perf_counter()
+        enc_times.append(t1 - t0)
+        tot_times.append(t2 - t0)
+    enc_dt = sorted(enc_times)[1]
+    dt = sorted(tot_times)[1]
+    dec_dt = dt - enc_dt
+    # analytic MFU: model FLOPs / phase time / chip bf16 peak
+    enc_flops = C["batch"] * _encoder_flops(C, enc_T)
+    n_steps = max(1, int(enc_T * C["max_decode_ratio"]))
+    dec_flops = (
+        C["batch"] * n_steps
+        * _decode_step_flops(C, enc_T, C["beam"])
+    )
+    mfu = {
+        "mfu_encode": round(enc_flops / enc_dt / V5E_PEAK_FLOPS, 4),
+        "mfu_decode": round(
+            dec_flops / max(dec_dt, 1e-9) / V5E_PEAK_FLOPS, 4
+        ),
+    }
+    return C["batch"] * C["seconds"] / dt, mfu
 
 
 def bench_northstar_reference_torch():
@@ -596,7 +665,7 @@ def bench_northstar_reference_torch():
         from speechbrain.nnet.linear import Linear
 
         C = NORTH
-        batch, seconds = 1, C["seconds"]
+        batch, seconds = 2, C["seconds"]
         fbank = Fbank(n_mels=N_MELS)
         fe = ConvolutionFrontEnd(
             input_shape=(8, 10, N_MELS, 1), num_blocks=2,
@@ -644,14 +713,22 @@ def bench_northstar_reference_torch():
         )
         wavs = torch.randn(batch, int(SR * seconds))
         with torch.no_grad():
-            t0 = time.perf_counter()
+            # one warm-up pass, then best of 2 (CPU timings jitter)
             feats = fbank(wavs)
             sub = fe(feats.unsqueeze(-1))
             sub = sub.reshape(sub.shape[0], sub.shape[1], -1)
             enc = net.encode(sub, torch.ones(batch))
             searcher(enc, torch.ones(batch))
-            dt = time.perf_counter() - t0
-        return batch * seconds / dt
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                feats = fbank(wavs)
+                sub = fe(feats.unsqueeze(-1))
+                sub = sub.reshape(sub.shape[0], sub.shape[1], -1)
+                enc = net.encode(sub, torch.ones(batch))
+                searcher(enc, torch.ones(batch))
+                best = min(best, time.perf_counter() - t0)
+        return batch * seconds / best
     except Exception as e:
         print(f"reference northstar baseline unavailable: {e!r}",
               file=sys.stderr)
@@ -719,17 +796,16 @@ def bench_fbank_torch():
     return batch * seconds / best
 
 
-def emit(metric, value, vs):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 1),
-                "unit": "audio_seconds_per_second",
-                "vs_baseline": round(vs, 2) if vs else None,
-            }
-        )
-    )
+def emit(metric, value, vs, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "audio_seconds_per_second",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
 
 
 def main():
@@ -770,10 +846,21 @@ def main():
             value / baseline if baseline else None,
         )
         return
+    if "--full-decode" in sys.argv:
+        # the PUBLISHED decode config (beam=66, ratio=1.0, ref
+        # conformer_large.yaml test settings). No CPU baseline: the
+        # reference takes ~30-40x the scaled config's ~80 s per
+        # utterance at this setting.
+        value, mfu = bench_northstar(bf16=True, full_decode=True)
+        emit(
+            "northstar_full_decode_beam66_throughput_bf16",
+            value, None, extra=mfu,
+        )
+        return
     # default: THE NORTH STAR — conformer-large + TransformerLM-fused
     # joint CTC/attention beam `transcribe_batch`, bf16 serving default
     bf16 = "--fp32" not in sys.argv
-    value = bench_northstar(bf16=bf16)
+    value, mfu = bench_northstar(bf16=bf16)
     baseline = None
     if "--no-baseline" not in sys.argv:
         baseline = bench_northstar_reference_torch()
@@ -782,6 +869,7 @@ def main():
         + ("_bf16" if bf16 else "_fp32"),
         value,
         value / baseline if baseline else None,
+        extra=mfu,
     )
 
 

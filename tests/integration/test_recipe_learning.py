@@ -1,0 +1,86 @@
+"""Learning assertions for recipe families (VERDICT r3 weak #4/#9): the
+debug harness proves plumbing (2 batches, rc=0); THESE tests run the
+same recipes for several epochs on their synthetic overfit corpora and
+assert the training loss actually DROPS — the reference's
+tests/integration contract (SURVEY §4.3) applied to the recipe scripts
+themselves rather than re-built models."""
+
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[2]
+
+CASES = [
+    pytest.param(
+        "recipes/GigaSpeech/ASR/transducer", "train.py",
+        "hparams/conformer_transducer.yaml",
+        ["--vocab_size=32", "--d_model=32", "--nhead=4", "--d_ffn=64",
+         "--num_encoder_layers=2", "--joint_dim=32", "--dec_neurons=32",
+         "--emb_size=16", "--batch_size=2"],
+        id="gigaspeech-rnnt",
+    ),
+    pytest.param(
+        "recipes/VoxPopuli/ASR/transducer", "train.py",
+        "hparams/conformer_transducer.yaml",
+        ["--vocab_size=32", "--d_model=32", "--nhead=4", "--d_ffn=64",
+         "--num_encoder_layers=2", "--joint_dim=32", "--dec_neurons=32",
+         "--emb_size=16", "--batch_size=2"],
+        id="voxpopuli-rnnt",
+    ),
+    pytest.param(
+        "recipes/DVoice/ASR/CTC", "train_with_wav2vec2.py",
+        "hparams/train_with_wav2vec2.yaml",
+        ["--latent_dim=16", "--d_model=32", "--nhead=4", "--d_ffn=64",
+         "--num_layers=2", "--output_neurons=12", "--batch_size=2"],
+        id="dvoice-w2v2-ctc",
+    ),
+    pytest.param(
+        "recipes/IEMOCAP/emotion_recognition", "train_with_wav2vec2.py",
+        "hparams/train_with_wav2vec2.yaml",
+        ["--latent_channels=[8,8]", "--latent_kernels=[11,3]",
+         "--latent_strides=[5,2]", "--batch_size=2"],
+        id="iemocap-w2v2",
+    ),
+    pytest.param(
+        "recipes/VoiceBank/dereverb/spectral_mask", "train.py",
+        "hparams/train.yaml",
+        ["--batch_size=2"],
+        id="voicebank-dereverb",
+    ),
+]
+
+
+@pytest.mark.parametrize("recipe_dir,script,hparams,flags", CASES)
+def test_recipe_loss_drops(recipe_dir, script, hparams, flags, tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cmd = [
+        sys.executable, script, hparams,
+        f"--data_folder={tmp_path}/data",
+        f"--output_folder={tmp_path}/out",
+        "--debug", "--debug_batches=4", "--debug_epochs=4",
+        "--number_of_epochs=4", *flags,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO / recipe_dir, env=env, capture_output=True,
+        text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"{recipe_dir} failed:\n{proc.stdout[-1500:]}\n{proc.stderr[-3000:]}"
+    )
+    log = (tmp_path / "out" / "train_log.txt").read_text()
+    losses = [
+        float(m) for m in re.findall(r"train loss: ([0-9.e+-]+)", log)
+    ]
+    assert len(losses) >= 2, f"need >=2 epochs of train loss, got: {log}"
+    assert losses[-1] < losses[0], (
+        f"{recipe_dir}: loss did not drop: {losses}"
+    )
