@@ -433,7 +433,7 @@ def _decode_step_flops(C, enc_T, beam):
     return beam * (dec + lm + heads)
 
 
-def bench_northstar(bf16=True, full_decode=False):
+def bench_northstar(bf16=True, full_decode=False, batch=None):
     """North-star `transcribe_batch` throughput: fbank -> conv frontend ->
     conformer-large encoder -> KV-cached joint CTC/attention beam search
     with TransformerLM shallow fusion (ScorerBuilder: partial CTC prefix +
@@ -462,6 +462,8 @@ def bench_northstar(bf16=True, full_decode=False):
     from speechbrain_tpu.utils.data_utils import pad_time_to_multiple
 
     C = dict(NORTH)
+    if batch:
+        C["batch"] = batch
     if full_decode:
         C["beam"], C["max_decode_ratio"] = 66, 1.0
     fbank = Fbank(n_mels=N_MELS)
@@ -846,12 +848,17 @@ def main():
             value / baseline if baseline else None,
         )
         return
+    batch = None
+    for a in sys.argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
     if "--full-decode" in sys.argv:
         # the PUBLISHED decode config (beam=66, ratio=1.0, ref
         # conformer_large.yaml test settings). No CPU baseline: the
         # reference takes ~30-40x the scaled config's ~80 s per
         # utterance at this setting.
-        value, mfu = bench_northstar(bf16=True, full_decode=True)
+        value, mfu = bench_northstar(bf16=True, full_decode=True,
+                                     batch=batch)
         emit(
             "northstar_full_decode_beam66_throughput_bf16",
             value, None, extra=mfu,
@@ -860,7 +867,7 @@ def main():
     # default: THE NORTH STAR — conformer-large + TransformerLM-fused
     # joint CTC/attention beam `transcribe_batch`, bf16 serving default
     bf16 = "--fp32" not in sys.argv
-    value, mfu = bench_northstar(bf16=bf16)
+    value, mfu = bench_northstar(bf16=bf16, batch=batch)
     baseline = None
     if "--no-baseline" not in sys.argv:
         baseline = bench_northstar_reference_torch()
