@@ -233,37 +233,51 @@ class CTCScorer(BaseScorerInterface):
 
 class CoverageScorer(BaseScorerInterface):
     """Penalize looping/over-attended frames using accumulated attention
-    (reference scorer.py:788). Full scorer: same penalty for all tokens
-    except eos (no penalty)."""
+    (reference scorer.py:788). Full scorer, reference-exact semantics:
+    ``penalty = sum(max(coverage, threshold)) - T*threshold``, divided
+    by the decode step count, applied uniformly to the whole vocab;
+    transformer (3-D) attention replaces the running sum with the
+    current prefix's query-summed attention."""
 
-    def __init__(self, vocab_size, threshold=0.5, eos_index=None):
+    def __init__(self, vocab_size, threshold=0.5):
         self.vocab_size = vocab_size
         self.threshold = threshold
-        # eos gets no coverage penalty; default to the last vocab slot
-        # only when unspecified (pass the real eos_index in recipes)
-        self.eos_index = vocab_size - 1 if eos_index is None else eos_index
 
     def reset_mem(self, x, enc_lens):
-        self.enc_len_frames = jnp.round(enc_lens * x.shape[1]).astype(jnp.int32)
-        return jnp.zeros((x.shape[0], x.shape[1]))
+        return {
+            "coverage": jnp.zeros((x.shape[0], x.shape[1])),
+            "step": jnp.zeros((), jnp.int32),
+        }
 
-    def score(self, inp_tokens, coverage, candidates, attn):
+    def score(self, inp_tokens, memory, candidates, attn):
+        n = inp_tokens.shape[0]
+        step = memory["step"] + 1
         if attn is None:
-            return jnp.zeros((inp_tokens.shape[0], self.vocab_size)), coverage
-        if attn.ndim == 3:  # multi-head or (B, Tq, Tk): average query axis
-            attn = attn[:, -1, :] if attn.shape[1] != coverage.shape[1] else attn.mean(1)
-        coverage = coverage + attn
-        # penalty = #frames attended more than threshold, normalized
-        penalty = jnp.sum(
-            jnp.where(coverage > self.threshold, coverage, 0.0), axis=-1
+            return (
+                jnp.zeros((n, self.vocab_size)),
+                {"coverage": memory["coverage"], "step": step},
+            )
+        if attn.ndim > 2:
+            # transformer attention (n_bh, cur_steps, src_len): the
+            # prefix's coverage is its query-summed attention
+            coverage = jnp.sum(attn, axis=1)
+        else:
+            coverage = memory["coverage"] + attn
+        T = coverage.shape[-1]
+        penalty = (
+            jnp.sum(jnp.maximum(coverage, self.threshold), axis=-1)
+            - T * self.threshold
         )
-        penalty = penalty / jnp.maximum(self.enc_len_frames, 1)
-        scores = -penalty[:, None] * jnp.ones((1, self.vocab_size))
-        scores = scores.at[:, self.eos_index].set(0.0)
-        return scores, coverage
+        scores = jnp.broadcast_to(
+            (-penalty / step)[:, None], (n, self.vocab_size)
+        )
+        return scores, {"coverage": coverage, "step": step}
 
     def permute_mem(self, memory, index):
-        return memory[index]
+        return {
+            "coverage": memory["coverage"][index],
+            "step": memory["step"],
+        }
 
 
 class LengthScorer(BaseScorerInterface):

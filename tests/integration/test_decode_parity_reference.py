@@ -621,3 +621,78 @@ def test_rnn_decode_matches_reference_token_for_token(
     np.testing.assert_allclose(
         our_scores, np.asarray(ref_scores), rtol=1e-2, atol=1e-2
     )
+
+
+def test_rnn_decode_with_coverage_matches_reference(
+    trained_rnn_torch_models, poured_rnn_jax_models
+):
+    """Coverage-penalty fusion: the reference CoverageScorer and ours
+    take identical decisions inside the beam (the looping-penalty
+    formula sum(max(cov, thr)) - T*thr divided by the step count)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain.decoders.scorer import (
+        CoverageScorer as RefCoverageScorer,
+        ScorerBuilder as RefScorerBuilder,
+    )
+    from speechbrain.decoders.seq2seq import (
+        S2SRNNBeamSearcher as RefRNNSearcher,
+    )
+
+    from speechbrain_tpu.decoders.scorer import CoverageScorer, ScorerBuilder
+    from speechbrain_tpu.decoders.seq2seq import S2SRNNBeamSearcher
+
+    temb, tdec, tseq, tlm = trained_rnn_torch_models
+    emb, v_emb, dec, v_dec, seq_lin, v_seq, lm, v_lm = poured_rnn_jax_models
+
+    enc, _ = _rnn_synthetic_batch(np.random.default_rng(47), 4)
+    beam_cfg = dict(
+        bos_index=BOS, eos_index=EOS, min_decode_ratio=0.0,
+        max_decode_ratio=0.5, beam_size=4, using_eos_threshold=True,
+        eos_threshold=1.5, length_normalization=True,
+    )
+    ref_searcher = RefRNNSearcher(
+        embedding=temb, decoder=tdec, linear=tseq, temperature=1.0,
+        scorer=RefScorerBuilder(
+            full_scorers=[RefCoverageScorer(vocab_size=V)],
+            weights={"coverage": 1.5},
+        ),
+        **beam_cfg,
+    )
+    with torch.no_grad():
+        ref_hyps, _, _, _ = ref_searcher(
+            torch.from_numpy(enc), torch.ones(4)
+        )
+
+    def step_fn(inp_tokens, memory, enc_states, enc_lens):
+        e = emb.apply(v_emb, inp_tokens[:, None])[:, 0]
+        out, new_state, attn = dec.apply(
+            v_dec, e, memory, enc_states, enc_lens, method="forward_step"
+        )
+        logits = seq_lin.apply(v_seq, out)
+        return jax.nn.log_softmax(logits, axis=-1), new_state, attn
+
+    def init_fn(batch_size, enc_states, enc_lens):
+        state = dec.init_state(batch_size, enc_states.shape[1])
+        T = enc_states.shape[1]
+        mask0 = (
+            jnp.arange(T)[None, :] < jnp.round(enc_lens * T)[:, None]
+        ).astype(jnp.float32)
+        state["prev_attn"] = mask0 / jnp.maximum(
+            mask0.sum(-1, keepdims=True), 1.0
+        )
+        return state
+
+    searcher = S2SRNNBeamSearcher(
+        step_fn=step_fn, init_fn=init_fn,
+        scorer=ScorerBuilder(
+            full_scorers={"coverage": CoverageScorer(vocab_size=V)},
+            weights={"coverage": 1.5},
+        ),
+        **beam_cfg,
+    )
+    our_hyps, _, _, _ = searcher(jnp.asarray(enc), jnp.ones((4,)))
+    assert our_hyps == [list(h) for h in ref_hyps], (
+        f"coverage mismatch\nref: {ref_hyps}\nours: {our_hyps}"
+    )
