@@ -75,7 +75,7 @@ class DynamicItemDataset:
             yield self
         finally:
             self.pipeline.output_mapping = saved_output
-            self.pipeline._exec_order = None
+            self.pipeline._order_cache = None
 
     def filtered_sorted(
         self,

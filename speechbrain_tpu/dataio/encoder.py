@@ -55,6 +55,9 @@ class CategoricalEncoder:
 
     VALUE_SEPARATOR = " => "
     EXTRAS_SEPARATOR = "================\n"
+    # optional attributes persisted in the extras section of save files;
+    # subclasses extend this tuple instead of overriding _get/_set_extras
+    _EXTRA_ATTRS = ("unk_label",)
 
     def __init__(self, starting_index=0, **special_labels):
         self.lab2ind = {}
@@ -63,8 +66,9 @@ class CategoricalEncoder:
         self.handle_special_labels(special_labels)
 
     def handle_special_labels(self, special_labels):
-        if "unk_label" in special_labels:
-            self.add_unk(special_labels["unk_label"])
+        unk = special_labels.get("unk_label")
+        if unk is not None:
+            self.add_unk(unk)
 
     def __len__(self):
         return len(self.lab2ind)
@@ -88,9 +92,9 @@ class CategoricalEncoder:
     def add_label(self, label):
         if label in self.lab2ind:
             raise KeyError(f"Label already present: {label}")
-        index = self._next_index()
-        self._bind(label, index)
-        return index
+        fresh = self._next_index()
+        self._bind(label, fresh)
+        return fresh
 
     def ensure_label(self, label):
         existing = self.lab2ind.get(label)
@@ -103,7 +107,7 @@ class CategoricalEncoder:
 
     def enforce_label(self, label, index):
         """Place label at index, moving any occupant to a fresh index."""
-        index = int(index)
+        index = int(index)  # accept numpy / jax scalars
         if self.lab2ind.get(label) == index:
             return
         if label in self.lab2ind:
@@ -136,12 +140,12 @@ class CategoricalEncoder:
         self, iterable, sequence_input=False, n_most_common=None, min_count=1
     ):
         """Build from label counts with frequency filters; returns Counter."""
-        counts = collections.Counter(_label_stream(iterable, sequence_input))
-        for label, count in counts.most_common(n_most_common):
-            if count < min_count:
+        freq = collections.Counter(_label_stream(iterable, sequence_input))
+        for lab, n in freq.most_common(n_most_common):
+            if n < min_count:
                 break
-            self.ensure_label(label)
-        return counts
+            self.ensure_label(lab)
+        return freq
 
     def expect_len(self, expected_len):
         """Assert the final vocab size (catch config drift early)."""
@@ -238,24 +242,26 @@ class CategoricalEncoder:
     ):
         """Load from file if it exists; otherwise build and save."""
         if not self.load_if_possible(path):
-            for iterable in from_iterables:
-                self.update_from_iterable(iterable, sequence_input)
-            for didataset in from_didatasets:
-                self.update_from_didataset(didataset, output_key, sequence_input)
+            for src in from_iterables:
+                self.update_from_iterable(src, sequence_input)
+            for ds in from_didatasets:
+                self.update_from_didataset(ds, output_key, sequence_input)
             self.handle_special_labels(special_labels)
             self.save(path)
         return True
 
     def _get_extras(self):
-        extras = {"starting_index": self.starting_index}
-        if hasattr(self, "unk_label"):
-            extras["unk_label"] = self.unk_label
-        return extras
+        mapping = {"starting_index": self.starting_index}
+        mapping.update(
+            (a, getattr(self, a)) for a in self._EXTRA_ATTRS if hasattr(self, a)
+        )
+        return mapping
 
     def _set_extras(self, extras):
-        if "unk_label" in extras:
-            self.unk_label = extras["unk_label"]
         self.starting_index = extras["starting_index"]
+        for a in self._EXTRA_ATTRS:
+            if a in extras:
+                setattr(self, a, extras[a])
 
     @mark_as_saver
     def _save_hook(self, path):
@@ -269,15 +275,16 @@ class CategoricalEncoder:
 class TextEncoder(CategoricalEncoder):
     """CategoricalEncoder with bos/eos sequence support."""
 
+    _EXTRA_ATTRS = CategoricalEncoder._EXTRA_ATTRS + ("bos_label", "eos_label")
+
     def handle_special_labels(self, special_labels):
         super().handle_special_labels(special_labels)
-        has_bos = "bos_label" in special_labels
-        has_eos = "eos_label" in special_labels
-        if has_bos != has_eos:
+        bos = special_labels.get("bos_label")
+        eos = special_labels.get("eos_label")
+        if (bos is None) != (eos is None):
             raise TypeError("Provide both bos_label and eos_label, or neither.")
-        if not has_bos:
+        if bos is None:
             return
-        bos, eos = special_labels["bos_label"], special_labels["eos_label"]
         if bos == eos:
             self.insert_bos_eos(bos_label=bos, eos_label=eos)
         else:
@@ -317,30 +324,17 @@ class TextEncoder(CategoricalEncoder):
     def append_eos_index(self, x):
         return [*x, self.get_eos_index()]
 
-    def _get_extras(self):
-        extras = super()._get_extras()
-        if hasattr(self, "bos_label"):
-            extras["bos_label"] = self.bos_label
-            extras["eos_label"] = self.eos_label
-        return extras
-
-    def _set_extras(self, extras):
-        super()._set_extras(extras)
-        if "bos_label" in extras:
-            self.bos_label = extras["bos_label"]
-            self.eos_label = extras["eos_label"]
-
 
 class CTCTextEncoder(TextEncoder):
     """TextEncoder with a CTC blank and collapse helpers."""
 
+    _EXTRA_ATTRS = TextEncoder._EXTRA_ATTRS + ("blank_label",)
+
     def handle_special_labels(self, special_labels):
         super().handle_special_labels(special_labels)
-        if "blank_label" in special_labels:
-            self.insert_blank(
-                special_labels["blank_label"],
-                special_labels.get("blank_index", 0),
-            )
+        blank = special_labels.get("blank_label")
+        if blank is not None:
+            self.insert_blank(blank, special_labels.get("blank_index", 0))
 
     def add_blank(self, blank_label=DEFAULT_BLANK):
         self.ensure_label(blank_label)
@@ -374,14 +368,3 @@ class CTCTextEncoder(TextEncoder):
         merged = self._dedup(list(x)) if merge_repeats else list(x)
         blank = self.get_blank_index()
         return [int(ind) for ind in merged if ind != blank]
-
-    def _get_extras(self):
-        extras = super()._get_extras()
-        if hasattr(self, "blank_label"):
-            extras["blank_label"] = self.blank_label
-        return extras
-
-    def _set_extras(self, extras):
-        super()._set_extras(extras)
-        if "blank_label" in extras:
-            self.blank_label = extras["blank_label"]

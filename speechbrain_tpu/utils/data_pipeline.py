@@ -10,14 +10,9 @@ batch boundary, so pipelines stay out of the jit trace by design.
 
 Example
 -------
->>> pipeline = DataPipeline(
-...     static_data_keys=["text"],
-...     dynamic_items=[
-...         {"func": lambda t: t.lower(), "takes": ["text"], "provides": "lower"},
-...     ],
-...     output_keys=["lower"],
-... )
->>> pipeline({"text": "Hello THERE"})
+>>> lowercase = {"func": lambda t: t.lower(), "takes": ["raw"], "provides": "lower"}
+>>> pipeline = DataPipeline(["raw"], dynamic_items=[lowercase], output_keys=["lower"])
+>>> pipeline({"raw": "Hello THERE"})
 {'lower': 'hello there'}
 """
 
@@ -70,12 +65,12 @@ class GeneratorDynamicItem(DynamicItem):
 
     Example
     -------
-    >>> @takes("text")
+    >>> @takes("sentence")
     ... @provides("words", "chars")
-    ... def split(text):
-    ...     words = text.split()
-    ...     yield words
-    ...     yield [c for w in words for c in w]
+    ... def split(sentence):
+    ...     pieces = sentence.split()
+    ...     yield pieces
+    ...     yield [ch for w in pieces for ch in w]
     """
 
     def __init__(self, *args, **kwargs):
@@ -125,18 +120,18 @@ class CachedDynamicItem(DynamicItem):
     Example
     -------
     >>> import os, tempfile
-    >>> tempdir = tempfile.mkdtemp()
-    >>> @CachedDynamicItem.cache(tempdir)
-    ... @takes("id", "text")
-    ... @provides("tokenized")
-    ... def tokenize(id, text):
-    ...     return text.strip().lower().split()
-    >>> tokenize("utt1", " Some Text")
-    ['some', 'text']
-    >>> sorted(os.listdir(tempdir))
+    >>> cache_dir = tempfile.mkdtemp()
+    >>> @CachedDynamicItem.cache(cache_dir)
+    ... @takes("id", "sentence")
+    ... @provides("n_words")
+    ... def count_words(id, sentence):
+    ...     return len(sentence.split())
+    >>> count_words("utt1", "three word utterance")
+    3
+    >>> sorted(os.listdir(cache_dir))
     ['utt1.pkl']
-    >>> tokenize("utt1", "different input, cached result")
-    ['some', 'text']
+    >>> count_words("utt1", "cached, so the new input is ignored")
+    3
     """
 
     def __init__(self, cache_location, *args, **kwargs):
@@ -151,44 +146,33 @@ class CachedDynamicItem(DynamicItem):
         self.cache_location.mkdir(parents=True, exist_ok=True)
 
     def __call__(self, *args):
-        uid = args[0]
-        if self._is_cached(uid):
-            return self._load(uid)
-        result = self.func(*args)
-        self._cache(result, uid)
-        return result
+        import pickle
 
-    def _uid2path(self, uid):
+        target = self._path_for(args[0])
+        if target.exists():
+            with open(target, "rb") as f:
+                return pickle.load(f)
+        fresh = self.func(*args)
+        with open(target, "wb") as f:
+            pickle.dump(fresh, f)
+        return fresh
+
+    def _path_for(self, uid):
         return self.cache_location / (str(uid) + ".pkl")
-
-    def _is_cached(self, uid):
-        return self._uid2path(uid).exists()
-
-    def _load(self, uid):
-        import pickle
-
-        with open(self._uid2path(uid), "rb") as f:
-            return pickle.load(f)
-
-    def _cache(self, result, uid):
-        import pickle
-
-        with open(self._uid2path(uid), "wb") as f:
-            pickle.dump(result, f)
 
     @classmethod
     def cache(cls, save_dir):
         """Decorator turning a DynamicItem into a cached one."""
 
-        def decorator(obj):
-            if not isinstance(obj, DynamicItem):
-                raise ValueError("Can only cache a DynamicItem")
+        def wrap(item):
+            if not isinstance(item, DynamicItem):
+                raise ValueError("Only a DynamicItem can be cached")
             return cls(
-                save_dir, takes=obj.takes, func=obj.func,
-                provides=obj.provides,
+                save_dir, takes=item.takes, func=item.func,
+                provides=item.provides,
             )
 
-        return decorator
+        return wrap
 
 
 def _declare(obj, field, keys):
@@ -231,24 +215,21 @@ class DataPipeline:
     """
 
     def __init__(self, static_data_keys, dynamic_items=(), output_keys=()):
-        self.dg = DependencyGraph()
-        self._exec_order = None
+        self.graph = DependencyGraph()
+        self._order_cache = None
         self.key_to_node = {}
         self.unaccounted_keys = {}
         self.dynamic_items = []
         self.output_mapping = {}
         self.add_static_keys(static_data_keys)
-        for item in dynamic_items:
-            if isinstance(item, dict):
-                self.add_dynamic_item(**item)
-            else:
-                self.add_dynamic_item(item)
+        for spec in dynamic_items:
+            self.add_dynamic_item(**spec) if isinstance(spec, dict) \
+                else self.add_dynamic_item(spec)
         self.set_output_keys(output_keys)
 
     def add_static_keys(self, static_keys):
         for key in static_keys:
-            node_id = self.dg.add_node(data=StaticItem(key))
-            self.key_to_node[key] = node_id
+            self.key_to_node[key] = self.graph.add_node(data=StaticItem(key))
 
     def add_dynamic_item(self, func, takes=None, provides=None):
         """Add one transform. ``func`` may already be a decorated DynamicItem."""
@@ -257,16 +238,15 @@ class DataPipeline:
                 raise ValueError(
                     "If providing a DynamicItem, don't also pass takes/provides."
                 )
-            self._add_dynamic_item_object(func)
+            self._register_item(func)
             return
-        if isinstance(takes, str):
-            takes = [takes]
-        if isinstance(provides, str):
-            provides = [provides]
-        di = takes_decorator(*takes)(provides_decorator(*provides)(func))
-        self._add_dynamic_item_object(di)
+        takes = [takes] if isinstance(takes, str) else takes
+        provides = [provides] if isinstance(provides, str) else provides
+        self._register_item(
+            _declare(_declare(func, "provides", provides), "takes", takes)
+        )
 
-    def _add_dynamic_item_object(self, obj):
+    def _register_item(self, obj):
         if not obj.provides:
             raise ValueError("Dynamic item must provide at least one key.")
         for depended in obj.takes:
@@ -277,28 +257,28 @@ class DataPipeline:
         # the takes-edges attach to stage 0, where inputs are consumed.
         prev_node = None
         for stage_idx, stage_keys in enumerate(obj.provided_in_order()):
-            node_id = self.dg.add_node(data=obj)
+            node_id = self.graph.add_node(data=obj)
             if prev_node is not None:
-                self.dg.add_edge(node_id, prev_node)
+                self.graph.add_edge(node_id, prev_node)
             for provided in stage_keys:
                 self.key_to_node[provided] = node_id
                 if provided in self.unaccounted_keys:
                     for dependent_provides in self.unaccounted_keys[provided]:
                         dependent_node = self.key_to_node[dependent_provides[0]]
-                        self.dg.add_edge(dependent_node, node_id)
+                        self.graph.add_edge(dependent_node, node_id)
                     del self.unaccounted_keys[provided]
             if stage_idx == 0:
                 for depended in obj.takes:
                     if depended in self.key_to_node:
-                        self.dg.add_edge(node_id, self.key_to_node[depended])
+                        self.graph.add_edge(node_id, self.key_to_node[depended])
             prev_node = node_id
         self.dynamic_items.append(obj)
-        self._exec_order = None
+        self._order_cache = None
 
     def set_output_keys(self, keys):
         """Set which keys to compute. Accepts a list or a {out_name: key} map."""
         self.output_mapping = self._output_keys_to_mapping(keys)
-        self._exec_order = None
+        self._order_cache = None
 
     @staticmethod
     def _output_keys_to_mapping(keys):
@@ -310,9 +290,9 @@ class DataPipeline:
 
     def compute_outputs(self, data):
         """Compute the currently-set output keys for one data point."""
-        if self._exec_order is None:
-            self._prepare_run(data)
-        return self._compute(data, self._exec_order, self.output_mapping)
+        if self._order_cache is None:
+            self._plan_run(data)
+        return self._run_order(data, self._order_cache, self.output_mapping)
 
     def __call__(self, data):
         return self.compute_outputs(data)
@@ -320,12 +300,12 @@ class DataPipeline:
     def compute_specific(self, keys, data):
         """Compute specific keys, ignoring the set output keys."""
         mapping = self._output_keys_to_mapping(keys)
-        order = self.dg.get_evaluation_order(
+        order = self.graph.get_evaluation_order(
             selected_keys=self.get_selected_node_ids(keys)
         )
-        return self._compute(data, order, mapping)
+        return self._run_order(data, order, mapping)
 
-    def _compute(self, data, order, output_mapping):
+    def _run_order(self, data, order, output_mapping):
         missing = [key for key in self.unaccounted_keys if key not in data]
         if missing:
             raise RuntimeError(
@@ -357,9 +337,9 @@ class DataPipeline:
     def get_selected_node_ids(self, selected_keys):
         return [self.key_to_node[key] for key in selected_keys]
 
-    def _prepare_run(self, data):
-        self._exec_order = list(
-            self.dg.get_evaluation_order(
+    def _plan_run(self, data):
+        self._order_cache = list(
+            self.graph.get_evaluation_order(
                 self.get_selected_node_ids(self.output_mapping.values())
             )
         )
