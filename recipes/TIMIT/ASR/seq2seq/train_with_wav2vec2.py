@@ -264,7 +264,7 @@ if __name__ == "__main__":
     )
     if "test" in datasets and not run_opts.get("debug"):
         wer = brain.transcribe_dataset(
-            datasets["test"], tokenizer,
+            datasets["test"], phone_map,
             beam_size=hparams["test_beam_size"],
         )
         with open(Path(hparams["output_folder"]) / "wer_test.txt", "w") as f:
