@@ -90,12 +90,17 @@ class S2SGreedySearcher(S2SBaseSearcher):
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _greedy_jit(self, enc_states, wav_len, max_steps):
         """One compiled program per (shape, max_steps); cached across
-        calls like the beam searcher's _search_jit."""
+        calls like the beam searcher's _search_jit. A while_loop with an
+        all-rows-finished early exit replaces the reference's
+        data-dependent Python break — finished rows only ever append
+        eos, so stopping early is bit-identical to running the bound
+        (the post-loop buffers are eos/zero-filled, which is what the
+        masked steps would have written)."""
         B = enc_states.shape[0]
         memory = self.reset_mem(B, enc_states, wav_len)
 
-        def body(carry, step):
-            tokens, memory, finished, scores = carry
+        def body(carry):
+            step, tokens, memory, finished, scores, tokens_seq, lp_seq = carry
             log_probs, memory, attn = self.forward_step(
                 tokens, memory, enc_states, wav_len, step
             )
@@ -104,19 +109,49 @@ class S2SGreedySearcher(S2SBaseSearcher):
             next_tokens = jnp.where(finished, self.eos_index, next_tokens)
             scores = scores + jnp.where(finished, 0.0, step_scores)
             finished = jnp.logical_or(finished, next_tokens == self.eos_index)
-            return (next_tokens, memory, finished, scores), (next_tokens, log_probs)
+            tokens_seq = tokens_seq.at[step].set(next_tokens)
+            lp_seq = lp_seq.at[step].set(log_probs)
+            return (
+                step + 1, next_tokens, memory, finished, scores,
+                tokens_seq, lp_seq,
+            )
+
+        def cond(carry):
+            step, _tok, _mem, finished, *_ = carry
+            return jnp.logical_and(
+                step < max_steps, jnp.logical_not(jnp.all(finished))
+            )
 
         init_tokens = jnp.full((B,), self.bos_index, jnp.int32)
+        V = self._greedy_vocab_size(enc_states, wav_len, memory)
         init = (
+            jnp.int32(0),
             init_tokens,
             memory,
             jnp.zeros((B,), bool),
             jnp.zeros((B,)),
+            jnp.full((max_steps, B), self.eos_index, jnp.int32),
+            jnp.zeros((max_steps, B, V)),
         )
-        (_, _, _, scores), (tokens_seq, log_probs_seq) = jax.lax.scan(
-            body, init, jnp.arange(max_steps)
+        (_, _, _, _, scores, tokens_seq, log_probs_seq) = jax.lax.while_loop(
+            cond, body, init
         )
         return scores, tokens_seq, log_probs_seq
+
+    def _greedy_vocab_size(self, enc_states, wav_len, memory):
+        """Static vocab size for the preallocated log-prob buffer.
+        Subclasses that know it statically override; the fallback runs
+        one (traced, shape-only) forward step."""
+        if hasattr(self, "vocab_size"):
+            return self.vocab_size
+        log_probs, _, _ = jax.eval_shape(
+            lambda m: self.forward_step(
+                jnp.zeros((enc_states.shape[0],), jnp.int32), m,
+                enc_states, wav_len, 0,
+            ),
+            memory,
+        )
+        return log_probs.shape[-1]
 
 
 def _trim_eos_batch(tokens, eos_index):
@@ -288,7 +323,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
         prev_tokens = jnp.full((n_bh,), self.bos_index, jnp.int32)
         prev_attn_peak = jnp.zeros((n_bh,), jnp.int32)
 
-        def body(step, carry):
+        def body(loop_carry):
+            step, carry = loop_carry
             (
                 prev_tokens,
                 memory,
@@ -385,7 +421,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
             seq_scores = jnp.where(
                 is_eos.reshape(n_bh), self.minus_inf, new_seq_scores
             )
-            return (
+            return step + 1, (
                 new_tokens,
                 memory,
                 scorer_mem,
@@ -397,6 +433,19 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 fin_scores,
                 fin_lens,
                 fin_count,
+            )
+
+        def cond(loop_carry):
+            # The reference's early exit (_check_full_beams): once every
+            # utterance has recorded beam_size finished hypotheses,
+            # further steps are provable no-ops here too — the finished
+            # set is append-capped at K, so nothing can be written and
+            # the post-loop alive fill writes nothing either. Stopping
+            # is therefore bit-identical to running out the fixed bound.
+            step, carry = loop_carry
+            fin_count = carry[-1]
+            return jnp.logical_and(
+                step < max_steps, jnp.any(fin_count < K)
             )
 
         carry = (
@@ -412,7 +461,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
             fin_lens,
             fin_count,
         )
-        carry = jax.lax.fori_loop(0, max_steps, body, carry)
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
         (
             _pt, _mem, _sm, _pap,
             seq,
