@@ -18,6 +18,7 @@ def test_package_doctests_pass():
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
     env["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         # explicit path arg overrides testpaths; pyproject still supplies
         # the doctest optionflags (ELLIPSIS NORMALIZE_WHITESPACE)

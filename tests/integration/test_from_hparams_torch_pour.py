@@ -103,6 +103,9 @@ def test_from_hparams_serves_converted_torch_checkpoint(tmp_path):
         "PYTHONPATH", ""
     )
     env["JAX_PLATFORMS"] = "cpu"
+    # the axon plugin ignores JAX_PLATFORMS and hangs when the TPU
+    # tunnel is down; drop its discovery var like the recipe harness
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, "/root/repo/tools/convert_checkpoint.py",
          "--module",

@@ -24,7 +24,12 @@ def _rows():
                 marks.append(
                     pytest.mark.skip(reason=row["test_debug_flags"][5:])
                 )
-            yield pytest.param(row, id=row["recipe_dir"], marks=marks)
+            rid = row["recipe_dir"]
+            if row["script"] != "train.py":
+                # distinguish sibling scripts (train_with_wav2vec.py,
+                # train_spk.py, ...) so -k can target them
+                rid += ":" + row["script"][:-3]
+            yield pytest.param(row, id=rid, marks=marks)
 
 
 def test_recipe_flags_are_well_formed():

@@ -40,7 +40,16 @@ def main():
                          "state_<name>.ckpt)")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var and hangs
+    # at init when the TPU tunnel is unreachable — honor the env var
+    # programmatically so CPU-only conversion never touches the tunnel
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
 
     from speechbrain_tpu.utils.checkpoints import save_pytree
