@@ -173,6 +173,14 @@ class UnitHifiganGenerator(HifiganGenerator):
             embedding_dim=self.embedding_dim,
             name="unit_emb",
         )(units)
+        if spk is not None:
+            # multi-speaker conditioning (reference HifiGAN.py:632 with
+            # multispeaker=True): the utterance-level speaker embedding
+            # is broadcast along time and concatenated to every frame
+            spk_t = jnp.broadcast_to(
+                spk[:, None, :], (x.shape[0], x.shape[1], spk.shape[-1])
+            )
+            x = jnp.concatenate([x, spk_t], axis=-1)
         return super().__call__(x, g=g)
 
 

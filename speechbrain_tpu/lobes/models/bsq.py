@@ -27,6 +27,9 @@ class BSQ(nn.Module):
     """
 
     dim: int = 16
+    entropy_loss_weight: float = 0.0
+    diversity_gamma: float = 1.0
+    inv_temperature: float = 100.0
 
     @nn.compact
     def __call__(self, x):
@@ -41,4 +44,21 @@ class BSQ(nn.Module):
         weights = 2 ** jnp.arange(self.dim)
         indices = jnp.sum(bits * weights, axis=-1)
         out = Linear(d_in, name="proj_out")(q_st)
-        return {"quantized": out, "codes": q_st, "indices": indices}
+        # Entropy auxiliary (the reference BSQ's
+        # entropy_loss_weight/diversity_gamma pair): per-bit soft
+        # probabilities give a differentiable surrogate — minimize
+        # per-sample entropy (confident bits) while maximizing the
+        # BATCH-mean entropy (all bits used).
+        p = jax.nn.sigmoid(self.inv_temperature * z)
+
+        def _H(pr):
+            pr = jnp.clip(pr, 1e-6, 1 - 1e-6)
+            return -(pr * jnp.log(pr) + (1 - pr) * jnp.log(1 - pr))
+
+        per_sample = jnp.mean(_H(p))
+        batch_mean = jnp.mean(_H(jnp.mean(p, axis=tuple(range(p.ndim - 1)))))
+        aux_loss = self.entropy_loss_weight * (
+            per_sample - self.diversity_gamma * batch_mean
+        )
+        return {"quantized": out, "codes": q_st, "indices": indices,
+                "aux_loss": aux_loss}

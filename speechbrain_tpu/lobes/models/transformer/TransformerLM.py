@@ -86,6 +86,23 @@ class TransformerLM(nn.Module):
         out, _ = self.encoder(emb, src_mask=mask, train=train)
         return self._head(out)
 
+    def embed_tokens(self, ids):
+        """Token ids -> model-space embeddings (the multimodal-prefix
+        hook: SpeechLLM projects audio features into this space);
+        call via apply(..., method="embed_tokens")."""
+        return self._embed(ids)
+
+    def forward_embeds(self, embeds, train=False):
+        """Causal LM over a PRE-EMBEDDED sequence (B, T, d_model) ->
+        (B, T, vocab) logits. The speech-LLM path: audio embeddings and
+        token embeddings are concatenated by the caller and scored as
+        one causal stream (reference integrations delegate this to the
+        HF LLM's inputs_embeds)."""
+        emb = embeds + self.pos(embeds)
+        mask = get_lookahead_mask(embeds.shape[1])
+        out, _ = self.encoder(emb, src_mask=mask, train=train)
+        return self._head(out)
+
     def init_cache(self, batch_size, max_len, dtype=jnp.float32):
         """Per-layer KV buffers for incremental scoring (score_step);
         call via apply(..., method="init_cache")."""

@@ -54,12 +54,44 @@ def _find_injected(state):
     return None
 
 
-def update_learning_rate(optimizer_state, new_lr):
+def _find_group(state, group):
+    """DFS for a multi_transform ``inner_states`` dict carrying
+    ``group``, returning that group's sub-state."""
+    inner = getattr(state, "inner_states", None)
+    if isinstance(inner, dict) and group in inner:
+        return inner[group]
+    children = ()
+    if isinstance(state, (tuple, list)):
+        children = state
+    elif hasattr(state, "_fields"):
+        children = tuple(getattr(state, f) for f in state._fields)
+    elif isinstance(state, dict):
+        children = tuple(state.values())
+    for child in children:
+        found = _find_group(child, group)
+        if found is not None:
+            return found
+    return None
+
+
+def update_learning_rate(optimizer_state, new_lr, group=None):
     """Set the learning rate inside an optax.inject_hyperparams state,
     however deeply it is wrapped (MultiSteps, multi_transform, chains) —
     the jax analogue of reference update_learning_rate :24. Mutates the
-    hyperparams dict in place and returns the state."""
-    target = _find_injected(optimizer_state)
+    hyperparams dict in place and returns the state.
+
+    With ``group``, only the named ``optax.multi_transform`` branch is
+    updated — the two-optimizer fine-tuning pattern (a frozen-ish SSL
+    encoder at ``lr_wav2vec`` + the head at ``lr``, reference
+    train_with_wav2vec.py's model_optimizer/wav2vec_optimizer split)."""
+    scope = optimizer_state
+    if group is not None:
+        scope = _find_group(optimizer_state, group)
+        if scope is None:
+            raise ValueError(
+                f"No multi_transform group {group!r} in optimizer state"
+            )
+    target = _find_injected(scope)
     if target is None:
         raise ValueError(
             "Optimizer state has no injected 'learning_rate'; build the "

@@ -220,13 +220,23 @@ class _Resolver:
             value = self._resolve_ref_expression(node.expression)
             return copy.deepcopy(value) if node.do_copy else value
         if isinstance(node, TupleTag):
-            inner = node.text.strip()
-            if inner.startswith("(") and inner.endswith(")"):
-                inner = inner[1:-1]
-            items = [
-                yaml.safe_load(part.strip()) for part in inner.split(",") if part.strip()
-            ]
-            return tuple(items)
+            # literal_eval handles NESTED tuples — e.g. HiFiGAN's
+            # resblock_dilation_sizes ((1, 3, 5), (1, 3, 5)) — which a
+            # flat comma split would shred into strings
+            import ast
+
+            text = node.text.strip()
+            try:
+                value = ast.literal_eval(text)
+                return value if isinstance(value, tuple) else (value,)
+            except (ValueError, SyntaxError):
+                inner = text
+                if inner.startswith("(") and inner.endswith(")"):
+                    inner = inner[1:-1]
+                return tuple(
+                    yaml.safe_load(part.strip())
+                    for part in inner.split(",") if part.strip()
+                )
         if isinstance(node, Placeholder):
             raise ValueError(
                 "A !PLACEHOLDER value was not overridden. Provide it via "

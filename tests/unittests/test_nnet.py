@@ -229,3 +229,44 @@ def test_noam_warmup():
     assert lrs[-1] < lrs[9]
     # optax-schedule style
     assert sch(5) == pytest.approx(lrs[4], rel=1e-6)
+
+
+def test_update_learning_rate_group():
+    """Group-targeted LR update reaches ONLY the named multi_transform
+    branch (the two-optimizer fine-tuning pattern: SSL encoder at
+    lr_wav2vec, head at lr)."""
+    import jax.numpy as jnp
+    import optax
+
+    from speechbrain_tpu.nnet.schedulers import update_learning_rate
+
+    params = {"extractor": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(2)}}
+    opt = optax.multi_transform(
+        {
+            "ssl": optax.inject_hyperparams(optax.adam)(
+                learning_rate=1e-4
+            ),
+            "main": optax.inject_hyperparams(optax.adam)(
+                learning_rate=1e-2
+            ),
+        },
+        lambda p: {k: ("ssl" if k == "extractor" else "main") for k in p},
+    )
+    state = opt.init(params)
+    update_learning_rate(state, 5e-5, group="ssl")
+    update_learning_rate(state, 5e-3, group="main")
+
+    from speechbrain_tpu.nnet.schedulers import _find_group, _find_injected
+
+    assert float(
+        _find_injected(_find_group(state, "ssl")).hyperparams[
+            "learning_rate"
+        ]
+    ) == pytest.approx(5e-5)
+    assert float(
+        _find_injected(_find_group(state, "main")).hyperparams[
+            "learning_rate"
+        ]
+    ) == pytest.approx(5e-3)
+    with pytest.raises(ValueError):
+        update_learning_rate(state, 1e-3, group="nope")
