@@ -9,7 +9,8 @@ from pathlib import Path
 import numpy as np
 
 
-def prepare_synthetic(data_folder, n_utt=8, sample_rate=8000, seconds=1.0):
+def prepare_synthetic(data_folder, n_utt=8, sample_rate=8000, seconds=1.0,
+                      num_spks=2, wham_noise=False):
     root = Path(data_folder)
     root.mkdir(parents=True, exist_ok=True)
     from speechbrain_tpu.dataio.dataio import write_audio
@@ -19,19 +20,28 @@ def prepare_synthetic(data_folder, n_utt=8, sample_rate=8000, seconds=1.0):
     entries = {"train": {}, "valid": {}}
     t = np.arange(T) / sample_rate
     for i in range(n_utt):
-        f1, f2 = rng.uniform(200, 400), rng.uniform(500, 900)
-        s1 = np.sin(2 * np.pi * f1 * t).astype(np.float32)
-        s2 = (0.6 * np.sign(np.sin(2 * np.pi * f2 * t))).astype(np.float32)
-        mix = s1 + s2
+        srcs = []
+        for k in range(num_spks):
+            f = rng.uniform(200 + 250 * k, 400 + 250 * k)
+            amp = 1.0 if k % 2 == 0 else 0.6
+            wave = np.sin(2 * np.pi * f * t)
+            if k % 2:  # square-ish for spectral contrast
+                wave = np.sign(wave)
+            srcs.append((amp * wave).astype(np.float32))
+        mix = np.sum(srcs, axis=0)
+        if wham_noise:
+            mix = mix + 0.1 * rng.standard_normal(T).astype(np.float32)
         paths = {}
-        for name, sig in (("mix", mix), ("s1", s1), ("s2", s2)):
+        named = [("mix", mix)] + [
+            (f"s{k + 1}", s) for k, s in enumerate(srcs)
+        ]
+        for name, sig in named:
             p = root / f"u{i}_{name}.wav"
-            write_audio(str(p), sig, sample_rate)
+            write_audio(str(p), sig.astype(np.float32), sample_rate)
             paths[name] = str(p)
         split = "valid" if i >= n_utt - 2 else "train"
         entries[split][f"u{i}"] = {
-            "mix_wav": paths["mix"], "s1_wav": paths["s1"],
-            "s2_wav": paths["s2"], "length": T,
+            **{f"{n}_wav": p for n, p in paths.items()}, "length": T,
         }
     for split, items in entries.items():
         with open(root / f"{split}.json", "w") as f:

@@ -236,3 +236,127 @@ class ConvTasNetWrapper(nn.Module):
         if T_est >= T_origin:
             return est[:, :T_origin]
         return jnp.pad(est, ((0, 0), (0, T_origin - T_est), (0, 0)))
+
+
+class BinauralConvTasNetWrapper(nn.Module):
+    """Binaural (stereo) ConvTasNet with the three interaural
+    communication schemes of the reference's BinauralWSJ0Mix recipe
+    (ref recipes/BinauralWSJ0Mix/separation/train.py:91-160):
+
+    * ``independent`` — each ear gets its own encoder + masknet.
+    * ``parallel`` — each masknet sees the concatenated (L, R) encoder
+      features and emits masks for both ears; per-ear estimates are the
+      sum of both masknets' contributions for that ear.
+    * ``cross`` — ILD features (log-magnitude ratio of the two ears'
+      STFTs) are projected and concatenated to each ear's encoding (the
+      right ear sees the negated ILD). The projection is a learned 1x1
+      conv held in the module (the reference constructs it per forward
+      call, which never trains it; registering it is the fix).
+
+    Input (B, T, 2) stereo mixture -> (B, T, 2, num_spks) estimates.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> model = BinauralConvTasNetWrapper(L=16, N=8, B=4, H=8, P=3,
+    ...     X=1, R=1, num_spks=2, mode="parallel")
+    >>> x = jnp.ones((1, 800, 2))
+    >>> v = model.init(jax.random.PRNGKey(0), x, train=False)
+    >>> model.apply(v, x, train=False).shape
+    (1, 800, 2, 2)
+    """
+
+    L: int = 16
+    N: int = 128
+    B: int = 128
+    H: int = 512
+    P: int = 3
+    X: int = 8
+    R: int = 3
+    num_spks: int = 2
+    mode: str = "parallel"  # "parallel" | "cross" | "independent"
+    sample_rate: int = 8000
+    norm_type: str = "gLN"
+
+    def _masknet(self, name, in_N, out_mult):
+        return MaskNet(
+            N=in_N, B=self.B, H=self.H, P=self.P, X=self.X, R=self.R,
+            C=self.num_spks * out_mult, norm_type=self.norm_type,
+            name=name,
+        )
+
+    def _ild(self, mix):
+        """Interaural level difference (B, frames, n_fft//2+1)."""
+        from speechbrain_tpu.processing.features import (
+            STFT,
+            spectral_magnitude,
+        )
+
+        eps = 1e-8
+        stft = STFT(
+            sample_rate=self.sample_rate,
+            win_length=256 * 1000.0 / self.sample_rate,
+            hop_length=128 * 1000.0 / self.sample_rate,
+            n_fft=256,
+        )
+        mag_l = spectral_magnitude(stft(mix[..., 0]), power=0.5)
+        mag_r = spectral_magnitude(stft(mix[..., 1]), power=0.5)
+        return 10.0 * jnp.log10(mag_l / (mag_r + eps) + eps)
+
+    @nn.compact
+    def __call__(self, mix, train=False):
+        import jax
+
+        T_origin = mix.shape[1]
+        enc_l = Encoder(L=self.L, N=self.N, name="encoder_l")
+        enc_r = Encoder(L=self.L, N=self.N, name="encoder_r")
+        dec_l = Decoder(L=self.L, N=self.N, name="decoder_l")
+        dec_r = Decoder(L=self.L, N=self.N, name="decoder_r")
+        wl = enc_l(mix[..., 0])  # (B, K, N)
+        wr = enc_r(mix[..., 1])
+
+        if self.mode == "independent":
+            ml = self._masknet("masknet_l", self.N, 1)(wl)
+            mr = self._masknet("masknet_r", self.N, 1)(wr)
+            est_l = dec_l(wl, ml)
+            est_r = dec_r(wr, mr)
+        elif self.mode == "cross":
+            ild = self._ild(mix)  # (B, frames, F)
+            ild = jax.image.resize(
+                ild, (ild.shape[0], wl.shape[1], ild.shape[2]), "linear"
+            )
+            ild = Conv1d(self.N, 1, name="ild_proj")(ild)  # (B, K, N)
+            ml = self._masknet("masknet_l", 2 * self.N, 1)(
+                jnp.concatenate([wl, ild], axis=-1)
+            )[..., : self.N]
+            mr = self._masknet("masknet_r", 2 * self.N, 1)(
+                jnp.concatenate([wr, -ild], axis=-1)
+            )[..., : self.N]
+            est_l = dec_l(wl, ml)
+            est_r = dec_r(wr, mr)
+        else:  # parallel
+            cat_l = jnp.concatenate([wl, wr], axis=-1)  # same-index ears
+            mask_l = self._masknet("masknet_l", 2 * self.N, 1)(cat_l)
+            wl2 = enc_r(mix[..., 0])
+            wr2 = enc_l(mix[..., 1])
+            cat_r = jnp.concatenate([wl2, wr2], axis=-1)
+            mask_r = self._masknet("masknet_r", 2 * self.N, 1)(cat_r)
+            sep_l = (
+                wl[:, None] * mask_l[..., : self.N]
+                + wl2[:, None] * mask_r[..., : self.N]
+            )
+            sep_r = (
+                wr[:, None] * mask_l[..., self.N:]
+                + wr2[:, None] * mask_r[..., self.N:]
+            )
+            # sep_* are already masked features: decode them against a
+            # unit mixture so the decoder only applies the basis
+            est_l = dec_l(jnp.ones_like(wl), sep_l)
+            est_r = dec_r(jnp.ones_like(wr), sep_r)
+        est = jnp.stack([est_l, est_r], axis=2)  # (B, T, 2, C)
+        T_est = est.shape[1]
+        if T_est >= T_origin:
+            return est[:, :T_origin]
+        return jnp.pad(
+            est, ((0, 0), (0, T_origin - T_est), (0, 0), (0, 0))
+        )

@@ -111,6 +111,39 @@ class SBTransformerBlock(nn.Module):
         return out
 
 
+class SBConformerEncoderBlock(nn.Module):
+    """Conformer encoder block used intra-chunk (reference
+    dual_path.py's SBConformerEncoderBlock, used by
+    recipes/WSJ0Mix/separation/hparams/sepformer-conformerintra.yaml)."""
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    d_ffn: int = 2048
+    dropout: float = 0.0
+    kernel_size: int = 31
+    use_positional_encoding: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        from speechbrain_tpu.lobes.models.transformer.Conformer import (
+            ConformerEncoder,
+        )
+        from speechbrain_tpu.nnet.attention import RelPosEncXL
+
+        pos = RelPosEncXL(emb_dim=self.d_model, name="relpos")(x)
+        out, _ = ConformerEncoder(
+            num_layers=self.num_layers,
+            d_model=self.d_model,
+            d_ffn=self.d_ffn,
+            nhead=self.nhead,
+            kernel_size=self.kernel_size,
+            dropout=self.dropout,
+            name="enc",
+        )(x, pos_embs=pos, train=train)
+        return out
+
+
 class SBRNNBlock(nn.Module):
     """BiLSTM + projection block for DPRNN (reference dual_path.py:471)."""
 
@@ -314,9 +347,12 @@ class SepformerWrapper(nn.Module):
     intra_norm_before: bool = True
     inter_norm_before: bool = True
     # "transformer" = SepFormer; "rnn" = DPRNN (SBRNNBlock intra/inter,
-    # reference dual_path.py:471 + the dprnn.yaml recipes)
+    # reference dual_path.py:471 + the dprnn.yaml recipes);
+    # "conformer_intra" = conformer intra block + transformer inter
+    # (reference sepformer-conformerintra.yaml)
     block_type: str = "transformer"
     rnn_hidden: int = 128
+    conformer_kernel_size: int = 31
 
     @nn.compact
     def __call__(self, mix, train=False):
@@ -337,6 +373,24 @@ class SepformerWrapper(nn.Module):
                 hidden_channels=self.rnn_hidden,
                 out_channels=self.encoder_out_nchannels,
                 num_layers=self.inter_numlayers,
+                name="inter",
+            )
+        elif self.block_type == "conformer_intra":
+            intra = SBConformerEncoderBlock(
+                num_layers=self.intra_numlayers,
+                d_model=self.encoder_out_nchannels,
+                nhead=self.intra_nhead,
+                d_ffn=self.intra_dffn,
+                kernel_size=self.conformer_kernel_size,
+                name="intra",
+            )
+            inter = SBTransformerBlock(
+                num_layers=self.inter_numlayers,
+                d_model=self.encoder_out_nchannels,
+                nhead=self.inter_nhead,
+                d_ffn=self.inter_dffn,
+                use_positional_encoding=self.inter_use_positional,
+                norm_before=self.inter_norm_before,
                 name="inter",
             )
         else:

@@ -331,6 +331,9 @@ class RESepformerWrapper(nn.Module):
     nhead: int = 4
     d_ffn: int = 256
     mem_type: str = "av"
+    # "transformer" = RE-SepFormer; "lstm" = SkiM (SegLSTM segment
+    # models, reference skim.yaml)
+    seg_model: str = "transformer"
 
     @nn.compact
     def __call__(self, mix, train=False):
@@ -345,7 +348,8 @@ class RESepformerWrapper(nn.Module):
             num_spk=self.masknet_numspks, layer=self.n_layers,
             unit=self.encoder_out_nchannels,
             segment_size=self.masknet_chunksize, mem_type=self.mem_type,
-            nhead=self.nhead, d_ffn=self.d_ffn, name="masknet",
+            nhead=self.nhead, d_ffn=self.d_ffn,
+            seg_model=self.seg_model, name="masknet",
         )(enc, train=train)
         decoder = Decoder(
             kernel_size=self.encoder_kernel_size,

@@ -84,6 +84,21 @@ class TupleTag(_TagNode):
         self.text = text
 
 
+class IncludeTag(_TagNode):
+    """!include:file.yaml — load another hparams file as a sub-scope.
+
+    The optional mapping value provides overrides whose tags resolve in
+    the PARENT scope (the reference's recipe idiom,
+    e.g. ref recipes/WHAMandWHAMR/enhancement/hparams/
+    cnntransformer-wham-DM.yaml:141 ``MaskNet: !include:models/
+    CNNTransformer.yaml`` with ``N_fft: !ref <N_fft>``). The included
+    file's own ``!ref``s resolve in its own scope, after overrides."""
+
+    def __init__(self, path, overrides):
+        self.path = path
+        self.overrides = overrides
+
+
 class Placeholder(_TagNode):
     """!PLACEHOLDER: must be overridden before load."""
     pass
@@ -93,9 +108,11 @@ class Placeholder(_TagNode):
 # YAML loader with multi-constructors
 # ---------------------------------------------------------------------------
 
-def _make_loader():
+def _make_loader(base_dir=None):
     class HyperLoader(yaml.SafeLoader):
         pass
+
+    HyperLoader.hyperyaml_base_dir = base_dir
 
     def construct_args(loader, node):
         if isinstance(node, yaml.MappingNode):
@@ -136,8 +153,16 @@ def _make_loader():
         return Placeholder()
 
     def include_constructor(loader, suffix, node):
-        with open(suffix, encoding="utf-8") as f:
-            return yaml.load(f, Loader=HyperLoader)
+        import os
+
+        path = suffix
+        base = getattr(loader, "hyperyaml_base_dir", None)
+        if base and not os.path.isabs(path):
+            path = os.path.join(base, path)
+        overrides = {}
+        if isinstance(node, yaml.MappingNode):
+            overrides = loader.construct_mapping(node, deep=True)
+        return IncludeTag(path, overrides)
 
     HyperLoader.add_multi_constructor("!new:", new_constructor)
     HyperLoader.add_multi_constructor("!name:", name_constructor)
@@ -219,6 +244,25 @@ class _Resolver:
         if isinstance(node, RefTag):
             value = self._resolve_ref_expression(node.expression)
             return copy.deepcopy(value) if node.do_copy else value
+        if isinstance(node, IncludeTag):
+            import os
+
+            # override values resolve in the PARENT scope first
+            overrides = {
+                k: self.resolve(v) for k, v in node.overrides.items()
+            }
+            loader = _make_loader(base_dir=os.path.dirname(node.path))
+            with open(node.path, encoding="utf-8") as f:
+                subtree = yaml.load(f, Loader=loader)
+            if not isinstance(subtree, dict):
+                return subtree
+            subtree.update(overrides)
+            sub = _Resolver(subtree)
+            return {
+                k: sub.resolve(v)
+                for k, v in subtree.items()
+                if not str(k).startswith("__")
+            }
         if isinstance(node, TupleTag):
             # literal_eval handles NESTED tuples — e.g. HiFiGAN's
             # resblock_dilation_sizes ((1, 3, 5), (1, 3, 5)) — which a
@@ -337,7 +381,10 @@ def load_hyperpyyaml(yaml_stream, overrides=None, overrides_must_match=True):
     """
     if isinstance(yaml_stream, str):
         yaml_stream = StringIO(yaml_stream)
-    loader = _make_loader()
+    import os
+
+    name = getattr(yaml_stream, "name", None)
+    loader = _make_loader(base_dir=os.path.dirname(name) if name else None)
     tree = yaml.load(yaml_stream, Loader=loader)
     if tree is None:
         return {}

@@ -129,6 +129,28 @@ fn: !name:operator.add
     assert out["fn"](2, 3) == 5
 
 
+def test_hyperyaml_include_with_parent_scope_overrides(tmp_path):
+    """``!include:models/x.yaml`` loads a sub-scope whose overrides
+    resolve against the parent (the reference recipe idiom, ref
+    recipes/WHAMandWHAMR/enhancement/hparams/
+    cnntransformer-wham-DM.yaml:141)."""
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "sub.yaml").write_text(
+        "n_fft: !PLACEHOLDER\nwidth: 8\nmodel: !ref <n_fft> * <width>\n"
+    )
+    main = tmp_path / "main.yaml"
+    main.write_text(
+        "n_fft: 64\n"
+        "MaskNet: !include:models/sub.yaml\n"
+        "  n_fft: !ref <n_fft>\n"
+        "use: !ref <MaskNet[model]>\n"
+    )
+    with open(main, encoding="utf-8") as f:
+        out = load_hyperpyyaml(f)
+    assert out["MaskNet"]["model"] == 512
+    assert out["use"] == 512
+
+
 def test_hyperyaml_apply():
     out = load_hyperpyyaml(io.StringIO("""
 val: !apply:operator.mul [3, 4]
