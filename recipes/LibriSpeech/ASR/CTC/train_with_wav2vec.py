@@ -33,9 +33,23 @@ from speechbrain_tpu.utils.metric_stats import ErrorRateStats
 class W2VCTC(sb.Brain):
     """W2V latent extractor -> transformer encoder -> char CTC."""
 
+    def _downsample(self, params, state, wavs):
+        """Optional input downsampling (the reference's downsampled/
+        configs, ref recipes/LibriSpeech/ASR/CTC/hparams/downsampled/):
+        a host-side decimator from hparams, or a learned module."""
+        ds = getattr(self.hparams, "downsampler", None)
+        if ds is not None:
+            return ds(wavs)
+        if "downsampler" in params.get("params", params):
+            wavs, _ = self.module_apply(
+                "downsampler", params, state, wavs, mutable_state=[]
+            )
+        return wavs
+
     def compute_forward(self, params, state, batch, stage, rng):
         wavs, wav_lens = batch["sig"]
         train = stage == sb.Stage.TRAIN
+        wavs = self._downsample(params, state, wavs)
         lat, _ = self.module_apply(
             "extractor", params, state, wavs, mutable_state=[]
         )
@@ -67,6 +81,15 @@ class W2VCTC(sb.Brain):
 
     def init_forward(self, rng, eb):
         wavs, wav_lens = eb["sig"]
+        extra = {}
+        if hasattr(self.modules, "downsampler"):
+            p_ds, _ = self.init_module(rng, "downsampler", wavs)
+            extra["downsampler"] = p_ds
+            wavs, _ = self.module_apply(
+                "downsampler", {"downsampler": p_ds}, {}, wavs
+            )
+        elif getattr(self.hparams, "downsampler", None) is not None:
+            wavs = self.hparams.downsampler(wavs)
         p_ext, _ = self.init_module(rng, "extractor", wavs)
         lat, _ = self.module_apply(
             "extractor", {"extractor": p_ext}, {}, wavs
@@ -80,11 +103,37 @@ class W2VCTC(sb.Brain):
         enc = enc[0] if isinstance(enc, tuple) else enc
         p_head, _ = self.init_module(rng, "ctc_head", enc)
         return {"params": {"extractor": p_ext, "latent_proj": p_proj,
-                           "encoder": p_enc, "ctc_head": p_head}}
+                           "encoder": p_enc, "ctc_head": p_head, **extra}}
 
     def on_stage_start(self, stage, epoch=None):
         if stage != sb.Stage.TRAIN:
             self.cer_metric = ErrorRateStats(space_token=" ")
+
+    def evaluate_batch(self, batch, stage):
+        """Adds the reference's n-best rescoring eval path (ref
+        recipes/LibriSpeech/ASR/CTC/hparams/
+        train_hf_wav2vec_{rnn,transformer}_rescoring.yaml): when the
+        config wires ``test_beam_searcher`` + ``rescorer``, decode the
+        CTC posteriors with topk beam search, rerank with the
+        second-pass LM, and score CER on the reranked 1-best."""
+        loss = super().evaluate_batch(batch, stage)
+        searcher = getattr(self.hparams, "test_beam_searcher", None)
+        rescorer = getattr(self.hparams, "rescorer", None)
+        if searcher is not None and rescorer is not None:
+            b = self._prepare_batch(batch)
+            logp, _ = self.compute_forward(
+                self.params, self.model_state, b, stage, self.rng
+            )
+            topk = searcher(np.asarray(logp), np.asarray(b["sig"][1]))
+            hyps = [[list(beam.text) for beam in row] for row in topk]
+            scores = [[float(beam.score) for beam in row] for row in topk]
+            best, _, _ = rescorer.rescore(hyps, scores)
+            chars, char_lens = batch["char_encoded"]
+            self.cer_metric.append(
+                batch["id"], best, np.asarray(chars),
+                target_len=np.asarray(char_lens),
+            )
+        return loss
 
     def on_stage_end(self, stage, stage_loss, epoch=None):
         if stage == sb.Stage.VALID:
@@ -92,10 +141,13 @@ class W2VCTC(sb.Brain):
             from speechbrain_tpu.nnet.schedulers import update_learning_rate
 
             self.opt_state = update_learning_rate(self.opt_state, new_lr)
+            valid_stats = {"loss": stage_loss}
+            if getattr(self, "cer_metric", None) and self.cer_metric.ids:
+                valid_stats["CER"] = self.cer_metric.summarize("error_rate")
             self.hparams.train_logger.log_stats(
                 stats_meta={"epoch": epoch, "lr": old_lr},
                 train_stats={"loss": self.train_loss},
-                valid_stats={"loss": stage_loss},
+                valid_stats=valid_stats,
             )
             self.save_checkpoint(meta={"loss": stage_loss},
                                  min_keys=["loss"])
@@ -149,6 +201,40 @@ if __name__ == "__main__":
 
         prepare_synthetic(hparams["data_folder"])
     datasets = dataio_prepare(hparams)
+    if "rescorer_lm" in hparams:
+        # Build the n-best rescorer from the config's LM (ref rescoring
+        # configs load a trained LM through a Pretrainer; under --debug
+        # the randomly-initialised LM still exercises the full path).
+        from speechbrain_tpu.decoders.scorer import (
+            RescorerBuilder,
+            RNNLMRescorer,
+            TransformerLMRescorer,
+        )
+
+        lm = hparams["rescorer_lm"]
+        lm_vars = lm.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)
+        )
+        if hparams.get("rescorer_type", "rnn") == "rnn":
+            def lm_fn(tokens, state):
+                return lm.apply(lm_vars, tokens, hx=state)
+
+            rescorer_impl = RNNLMRescorer(
+                lm_fn, lambda n: None, bos_index=hparams["bos_index"],
+                eos_index=hparams["eos_index"],
+            )
+        else:
+            def lm_fn(tokens):
+                return lm.apply(lm_vars, tokens)
+
+            rescorer_impl = TransformerLMRescorer(
+                lm_fn, bos_index=hparams["bos_index"],
+                eos_index=hparams["eos_index"],
+            )
+        hparams["rescorer"] = RescorerBuilder(
+            weights={"lm": hparams.get("rescorer_weight", 0.5)},
+            rescorers={"lm": rescorer_impl},
+        )
     brain = W2VCTC(
         modules=hparams["modules"],
         opt_class=lambda: optax.inject_hyperparams(optax.adamw)(

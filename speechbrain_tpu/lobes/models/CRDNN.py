@@ -13,7 +13,7 @@ from speechbrain_tpu.nnet.CNN import Conv2d
 from speechbrain_tpu.nnet.linear import Linear
 from speechbrain_tpu.nnet.normalization import BatchNorm1d, LayerNorm
 from speechbrain_tpu.nnet.pooling import Pooling2d
-from speechbrain_tpu.nnet.RNN import LSTM, GRU, LiGRU
+from speechbrain_tpu.nnet.RNN import LSTM, GRU, LiGRU, SLiGRU
 
 
 class CRDNN(nn.Module):
@@ -101,7 +101,8 @@ class CRDNN(nn.Module):
         y = y.reshape(B, T, F * C)
         if self.projection_dim > 0:
             y = Linear(self.projection_dim, name="proj")(y)
-        rnn_cls = {"lstm": LSTM, "gru": GRU, "ligru": LiGRU}[self.rnn_class]
+        rnn_cls = {"lstm": LSTM, "gru": GRU, "ligru": LiGRU,
+           "sligru": SLiGRU}[self.rnn_class]
         y, _ = rnn_cls(
             hidden_size=self.rnn_neurons,
             num_layers=self.rnn_layers,

@@ -87,6 +87,17 @@ def _make_attention(attention_type, d_model, nhead, dropout):
         return RelPosMHAXL(embed_dim=d_model, num_heads=nhead, dropout=dropout)
     if attention_type == "RoPEMHA":
         return RoPEMHA(nhead=nhead, d_model=d_model, dropout=dropout)
+    if attention_type == "hypermixing":
+        # token mixing replaces attention (reference Transformer.py:380,
+        # the HyperConformer/HyperBranchformer configs)
+        from speechbrain_tpu.nnet.hypermixing import HyperMixing
+
+        return HyperMixing(
+            input_output_dim=d_model,
+            hypernet_size=d_model * 4,
+            num_heads=nhead,
+            tied=False,
+        )
     raise ValueError(f"Unknown attention_type {attention_type}")
 
 
