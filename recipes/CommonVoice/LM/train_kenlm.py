@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""LibriSpeech n-gram LM training (the reference's
-recipes/LibriSpeech/LM/train_ngram.py shells out to kenlm lmplz; this
+"""CommonVoice n-gram LM training (the reference's
+recipes/CommonVoice/LM/train_kenlm.py shells out to kenlm lmplz; this
 recipe estimates a Witten-Bell backoff model natively via
-speechbrain_tpu.lm.estimate and writes ARPA).
+speechbrain_tpu.lm.estimate and writes ARPA, loadable by the in-loop
+NgramDenseScorer / NgramRescorer).
 
-Run: python train_ngram.py --data_folder=DATA --output_folder=OUT \
-         [--order=3]
+Run: python train_kenlm.py hparams/train_kenlm.yaml --data_folder=DATA
 Text source: <data_folder>/lm_corpus.txt (one sentence per line) or the
 `words` fields of train.json.
 """
@@ -14,13 +14,13 @@ import argparse
 import json
 from pathlib import Path
 
+from speechbrain_tpu.lm.counting import pad_ends
 from speechbrain_tpu.lm.estimate import train_ngram_arpa
 from speechbrain_tpu.lm.ngram import (
     BackoffNgramLM,
     ngram_evaluation_details,
     ngram_perplexity,
 )
-from speechbrain_tpu.lm.counting import pad_ends
 
 
 def load_sentences(data_folder):
@@ -34,6 +34,18 @@ def load_sentences(data_folder):
         with open(Path(data_folder) / "train.json", encoding="utf-8") as f:
             lines = [e["words"] for e in json.load(f).values()]
     return [ln.split() for ln in lines]
+
+
+def synth_corpus(data_folder, n=40):
+    """Tiny synthetic corpus for --debug harness runs."""
+    root = Path(data_folder)
+    root.mkdir(parents=True, exist_ok=True)
+    words = ["oui", "non", "bonjour", "merci", "parle", "vite"]
+    lines = [
+        " ".join(words[(i + j) % len(words)] for j in range(3 + i % 4))
+        for i in range(n)
+    ]
+    (root / "lm_corpus.txt").write_text("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
@@ -62,15 +74,11 @@ if __name__ == "__main__":
                  "are required")
     args.order = args.order or 3
 
-    if not (Path(args.data_folder) / "train.json").exists() and (
-        not (Path(args.data_folder) / "lm_corpus.txt").exists()
-    ) and args.debug:
-        import sys
-
-        sys.path.insert(0, str(Path(__file__).parents[1]))
-        from librispeech_prepare import prepare_synthetic
-
-        prepare_synthetic(args.data_folder)
+    root = Path(args.data_folder)
+    if args.debug and not (root / "train.json").exists() and not (
+        root / "lm_corpus.txt"
+    ).exists():
+        synth_corpus(root)
     sents = load_sentences(args.data_folder)
     n_valid = max(1, len(sents) // 10)
     train, valid = sents[n_valid:], sents[:n_valid]
@@ -82,6 +90,5 @@ if __name__ == "__main__":
     lm = BackoffNgramLM(probs, backoffs)
 
     eval_data = [list(pad_ends(s)) for s in valid]
-    details = ngram_evaluation_details(eval_data, lm)
-    ppl = ngram_perplexity(details)
+    ppl = ngram_perplexity(ngram_evaluation_details(eval_data, lm))
     print(f"ARPA written to {arpa_path}; valid perplexity {ppl:.2f}")

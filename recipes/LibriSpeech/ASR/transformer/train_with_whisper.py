@@ -24,20 +24,36 @@ from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
 
 
 class WhisperASR(sb.Brain):
+    def _whisper_params(self, params):
+        """With ``use_lora``, the served weights are base + A@B deltas on
+        the targeted attention kernels; only the deltas train (the
+        reference's train_whisper_lora.yaml via nnet.adapters.LoRA,
+        expressed functionally with apply_lora_tree + an optax mask)."""
+        base = params["whisper"]
+        if "lora" in params:
+            from speechbrain_tpu.nnet.adapters import apply_lora_tree
+
+            base = apply_lora_tree(
+                jax.lax.stop_gradient(base), params["lora"],
+                scale=getattr(self.hparams, "lora_scale", 1.0),
+            )
+        return base
+
     def compute_forward(self, params, state, batch, stage, rng):
         wavs, wav_lens = batch["sig"]
         tokens_bos, _ = batch["tokens_bos"]
         whisper = self.hparams.whisper
+        wparams = self._whisper_params(params)
         mel = whisper._log_mel(wavs)
         enc = whisper.model.encode(
-            input_features=mel, params=params["whisper"]
+            input_features=mel, params=wparams
         ).last_hidden_state
         if self.hparams.freeze_encoder:
             enc = jax.lax.stop_gradient(enc)
         logits = whisper.model.decode(
             decoder_input_ids=jnp.asarray(tokens_bos, jnp.int32),
             encoder_outputs=(enc,),
-            params=params["whisper"],
+            params=wparams,
         ).logits
         return jax.nn.log_softmax(logits, axis=-1), state
 
@@ -49,7 +65,19 @@ class WhisperASR(sb.Brain):
         )
 
     def init_forward(self, rng, eb):
-        return {"params": {"whisper": self.hparams.whisper.params}}
+        out = {"params": {"whisper": self.hparams.whisper.params}}
+        if getattr(self.hparams, "use_lora", False):
+            from speechbrain_tpu.nnet.adapters import init_lora_tree
+
+            out["params"]["lora"] = init_lora_tree(
+                out["params"]["whisper"],
+                target_names=tuple(
+                    getattr(self.hparams, "lora_targets",
+                            ("q_proj", "v_proj"))
+                ),
+                rank=getattr(self.hparams, "lora_rank", 8),
+            )
+        return out
 
     def on_stage_end(self, stage, stage_loss, epoch=None):
         if stage == sb.Stage.VALID:
@@ -149,7 +177,20 @@ if __name__ == "__main__":
     datasets = dataio_prepare(hparams)
     brain = WhisperASR(
         modules={},
-        opt_class=lambda: optax.adamw(hparams["lr"]),
+        opt_class=(
+            # LoRA: only the adapter deltas receive updates
+            (lambda: optax.masked(
+                optax.adamw(hparams["lr"]),
+                lambda params: jax.tree_util.tree_map_with_path(
+                    lambda path, _: any(
+                        getattr(p, "key", None) == "lora" for p in path
+                    ),
+                    params,
+                ),
+            ))
+            if hparams.get("use_lora")
+            else (lambda: optax.adamw(hparams["lr"]))
+        ),
         hparams=hparams,
         run_opts=run_opts,
         checkpointer=hparams["checkpointer"],

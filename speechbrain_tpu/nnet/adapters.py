@@ -81,3 +81,69 @@ def lora_params_mask(params, adapter_key="lora"):
     treedef = jax.tree_util.tree_structure(params)
     mask_leaves = [mark([str(k) for k in path], leaf) for path, leaf in flat]
     return jax.tree_util.tree_unflatten(treedef, mask_leaves)
+
+
+def init_lora_tree(params, target_names=("q_proj", "v_proj"), rank=8,
+                   seed=0):
+    """Build a LoRA delta tree for an existing parameter pytree.
+
+    For every 2-D ``kernel`` whose path contains one of ``target_names``,
+    creates ``{"A": (in, r) gaussian, "B": (r, out) zeros}`` keyed by the
+    flattened path — so training starts from the identity (B=0), the
+    standard LoRA init. Pairs with :func:`apply_lora_tree`; freezing the
+    base is an ``optax.masked`` partition (the functional analogue of
+    the reference's AdaptedModel + LoRA, nnet/adapters.py:26,326).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> p = {"dec": {"q_proj": {"kernel": jnp.ones((4, 4))},
+    ...              "ffn": {"kernel": jnp.ones((4, 4))}}}
+    >>> lora = init_lora_tree(p, rank=2)
+    >>> sorted(lora)
+    ['dec/q_proj/kernel']
+    >>> lora["dec/q_proj/kernel"]["A"].shape, lora["dec/q_proj/kernel"]["B"].shape
+    ((4, 2), (2, 4))
+    """
+    import jax
+
+    from flax.traverse_util import flatten_dict
+
+    rng = jax.random.PRNGKey(seed)
+    out = {}
+    for path, leaf in flatten_dict(params).items():
+        spath = [str(p) for p in path]
+        if spath[-1] != "kernel" or getattr(leaf, "ndim", 0) != 2:
+            continue
+        if not any(t in s for t in target_names for s in spath[:-1]):
+            continue
+        rng, k = jax.random.split(rng)
+        d_in, d_out = leaf.shape
+        out["/".join(spath)] = {
+            "A": jax.random.normal(k, (d_in, rank), leaf.dtype)
+            * (1.0 / rank),
+            "B": jnp.zeros((rank, d_out), leaf.dtype),
+        }
+    return out
+
+
+def apply_lora_tree(params, lora, scale=1.0):
+    """Return ``params`` with each targeted kernel replaced by
+    ``kernel + scale * A @ B`` (see :func:`init_lora_tree`).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> p = {"dec": {"q_proj": {"kernel": jnp.ones((4, 4))}}}
+    >>> lora = init_lora_tree(p, rank=2)
+    >>> merged = apply_lora_tree(p, lora)
+    >>> bool(jnp.allclose(merged["dec"]["q_proj"]["kernel"], 1.0))
+    True
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = dict(flatten_dict(params))
+    for key, ab in lora.items():
+        path = tuple(key.split("/"))
+        flat[path] = flat[path] + scale * (ab["A"] @ ab["B"])
+    return unflatten_dict(flat)
