@@ -28,7 +28,12 @@ class SoundBrain(sb.Brain):
             "embedding_model", params, state, feats, train=train,
             mutable_state=mut,
         )
-        emb = jnp.mean(emb, axis=1, keepdims=True)
+        # ViT-style encoders return (tokens, attn_maps)
+        emb = emb[0] if isinstance(emb, tuple) else emb
+        if emb.ndim == 4:  # conv2d encoders: (B, T', F', D)
+            emb = jnp.mean(emb, axis=(1, 2))[:, None]
+        else:
+            emb = jnp.mean(emb, axis=1, keepdims=True)
         logits, _ = self.module_apply(
             "classifier", params, state, emb, mutable_state=[]
         )
@@ -51,7 +56,11 @@ class SoundBrain(sb.Brain):
             {k: {"embedding_model": v} for k, v in s1.items()},
             feats, train=False,
         )
-        emb = jnp.mean(emb, axis=1, keepdims=True)
+        emb = emb[0] if isinstance(emb, tuple) else emb
+        if emb.ndim == 4:
+            emb = jnp.mean(emb, axis=(1, 2))[:, None]
+        else:
+            emb = jnp.mean(emb, axis=1, keepdims=True)
         p2, _ = self.init_module(rng, "classifier", emb)
         out = {"params": {"embedding_model": p1, "classifier": p2}}
         for coll, tree in s1.items():

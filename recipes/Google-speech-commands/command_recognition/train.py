@@ -19,10 +19,21 @@ from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
 
 
 class CommandBrain(sb.Brain):
+    def _features(self, params, state, wavs, train):
+        """Fixed Fbank from hparams, or a LEARNABLE frontend module
+        (the reference's xvect_leaf.yaml: LEAF trains with the model)."""
+        if hasattr(self.modules, "compute_features"):
+            feats, _ = self.module_apply(
+                "compute_features", params, state, wavs, train=train,
+                mutable_state=[],
+            )
+            return feats
+        return self.hparams.compute_features(wavs)
+
     def compute_forward(self, params, state, batch, stage, rng):
         wavs, lens = batch["sig"]
         train = stage == sb.Stage.TRAIN
-        feats = self.hparams.compute_features(wavs)
+        feats = self._features(params, state, wavs, train)
         mut = ["batch_stats"] if train else []
         emb, u1 = self.module_apply(
             "embedding_model", params, state, feats, train=train,
@@ -45,7 +56,17 @@ class CommandBrain(sb.Brain):
 
     def init_forward(self, rng, eb):
         wavs, lens = eb["sig"]
-        feats = self.hparams.compute_features(wavs)
+        extra = {}
+        if hasattr(self.modules, "compute_features"):
+            p0, _ = self.init_module(rng, "compute_features", wavs,
+                                     train=False)
+            extra["compute_features"] = p0
+            feats, _ = self.module_apply(
+                "compute_features", {"compute_features": p0}, {}, wavs,
+                train=False,
+            )
+        else:
+            feats = self.hparams.compute_features(wavs)
         p1, s1 = self.init_module(rng, "embedding_model", feats, train=False)
         emb, _ = self.module_apply(
             "embedding_model", {"embedding_model": p1},
@@ -53,7 +74,8 @@ class CommandBrain(sb.Brain):
             feats, train=False,
         )
         p2, s2 = self.init_module(rng, "classifier", emb, train=False)
-        out = {"params": {"embedding_model": p1, "classifier": p2}}
+        out = {"params": {"embedding_model": p1, "classifier": p2,
+                          **extra}}
         for coll in set(s1) | set(s2):
             out[coll] = {"embedding_model": s1.get(coll, {}),
                          "classifier": s2.get(coll, {})}

@@ -80,9 +80,12 @@ def dataio_prepare(hparams):
     def text_mel_pipeline(wav, words):
         sig = np.asarray(read_audio(wav))
         mel = np.asarray(mel_spectogram(
-            h["sample_rate"], h["hop_length"], h["win_length"], h["n_fft"],
-            h["n_mels"], h["f_min"], h["f_max"], 1, False, "slaney",
-            "slaney", True, sig[None],
+            sig[None],
+            sample_rate=h["sample_rate"], hop_length=h["hop_length"],
+            win_length=h["win_length"], n_fft=h["n_fft"],
+            n_mels=h["n_mels"], f_min=h["f_min"], f_max=h["f_max"],
+            power=1, normalized=False, norm="slaney",
+            mel_scale="slaney", compression=True,
         ))[0]  # (T_mel, n_mels)
         toks = np.asarray(
             [sym_to_id.get(c, 1) for c in words], np.int32

@@ -97,9 +97,12 @@ def dataio_prepare(hparams):
         def mel_pipeline(wav):
             sig = np.asarray(read_audio(wav))[None]
             mel = np.asarray(mel_spectogram(
-                h["sample_rate"], h["hop_length"], h["win_length"],
-                h["n_fft"], h["n_mels"], h["f_min"], h["f_max"], 1, False,
-                "slaney", "slaney", True, jnp.asarray(sig),
+                jnp.asarray(sig),
+                sample_rate=h["sample_rate"], hop_length=h["hop_length"],
+                win_length=h["win_length"], n_fft=h["n_fft"],
+                n_mels=h["n_mels"], f_min=h["f_min"], f_max=h["f_max"],
+                power=1, normalized=False, norm="slaney",
+                mel_scale="slaney", compression=True,
             )[0])
             # static decoder shape: pad/crop to max_mel_len, but keep
             # the true frame count for the alignment losses

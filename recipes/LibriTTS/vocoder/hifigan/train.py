@@ -36,9 +36,13 @@ class HifiGanBrain(sb.Brain):
     def mel_fn(self, audio):
         h = self.hparams
         return mel_spectogram(
-            h.sample_rate, h.hop_length, h.win_length, h.n_fft, h.n_mels,
-            h.f_min, h.f_max, 1, False, "slaney", "slaney", True, audio,
-        )
+            audio,
+            sample_rate=h.sample_rate, hop_length=h.hop_length,
+            win_length=h.win_length, n_fft=h.n_fft,
+            n_mels=h.n_mels, f_min=h.f_min, f_max=h.f_max,
+            power=1, normalized=False, norm="slaney",
+            mel_scale="slaney", compression=True,
+            )
 
     def generate(self, params, mel, train, rng):
         wav, _ = self.module_apply(

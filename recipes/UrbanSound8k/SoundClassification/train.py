@@ -33,7 +33,10 @@ class SoundBrain(sb.Brain):
             "classifier", params, state, emb, mutable_state=[]
         )
         ns = self.merge_state(state, "embedding_model", u1)
-        return jax.nn.log_softmax(logits[:, 0], axis=-1), ns
+        # Linear head -> (B, 1, C); ECAPA Classifier -> (B, C)
+        if logits.ndim == 3:
+            logits = logits[:, 0]
+        return jax.nn.log_softmax(logits, axis=-1), ns
 
     def compute_objectives(self, logp, batch, stage):
         cls, _ = batch["class_encoded"]

@@ -19,14 +19,19 @@ from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
 from speechbrain_tpu.utils.metric_stats import EER, minDCF
 
 
-def embed(brain_modules, hparams, params, wav_path, cache):
+def embed(brain_modules, hparams, params, wav_path, cache,
+          model_state=None):
     """Embedding for one utterance (cached)."""
     if wav_path in cache:
         return cache[wav_path]
     sig = read_audio(wav_path)[None]
     feats = hparams["compute_features"](jnp.asarray(sig))
+    variables = {"params": params["embedding_model"]}
+    for coll, tree in (model_state or {}).items():
+        if "embedding_model" in tree:
+            variables[coll] = tree["embedding_model"]
     emb = brain_modules["embedding_model"].apply(
-        {"params": params["embedding_model"]}, feats, train=False
+        variables, feats, train=False
     )
     emb = np.asarray(emb).reshape(-1)
     emb = emb / (np.linalg.norm(emb) + 1e-9)
@@ -48,17 +53,50 @@ def main():
             "hparams must expose params_ref (PytreeRef registered with the "
             "checkpointer) holding the trained parameters"
         )
+    model_state = (
+        hparams["model_state_ref"].tree
+        if "model_state_ref" in hparams and hparams["model_state_ref"].tree
+        else {}
+    )
 
     cache = {}
+    plda = None
+    if hparams.get("scoring", "cosine") == "plda":
+        # Train a two-covariance PLDA backend on labelled embeddings
+        # (the reference's verification_plda_xvector.yaml flow).
+        import json
+
+        from speechbrain_tpu.processing.PLDA_LDA import PLDA, StatObject
+
+        with open(hparams["plda_train_annotation"],
+                  encoding="utf-8") as f:
+            entries = json.load(f)
+        vecs, spks = [], []
+        for utt, e in entries.items():
+            vecs.append(embed(hparams["modules"], hparams, params,
+                              e["wav"], cache,
+                              model_state=model_state))
+            spks.append(e["spk_id"])
+        stats = StatObject(
+            np.asarray(spks), np.arange(len(vecs)),
+            stat1=np.asarray(vecs),
+        )
+        plda = PLDA(rank_f=hparams.get("plda_rank_f", 100)).plda(stats)
+
     scores, labels = [], []
     with open(hparams["verification_file"], encoding="utf-8") as f:
         for line in f:
             lab, enrol, test = line.split()
             e = embed(hparams["modules"], hparams, params,
-                      f"{hparams['data_folder']}/{enrol}", cache)
+                      f"{hparams['data_folder']}/{enrol}", cache,
+                      model_state=model_state)
             t = embed(hparams["modules"], hparams, params,
-                      f"{hparams['data_folder']}/{test}", cache)
-            scores.append(float(np.dot(e, t)))
+                      f"{hparams['data_folder']}/{test}", cache,
+                      model_state=model_state)
+            if plda is not None:
+                scores.append(plda.score_pair(e, t))
+            else:
+                scores.append(float(np.dot(e, t)))
             labels.append(int(lab))
     scores = np.asarray(scores)
     labels = np.asarray(labels)

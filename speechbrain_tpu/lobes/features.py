@@ -208,7 +208,7 @@ class Leaf(nn.Module):
     use_pcen: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train=False):
         from speechbrain_tpu.nnet.CNN import GaborConv1d
         from speechbrain_tpu.nnet.normalization import PCEN
         from speechbrain_tpu.nnet.pooling import GaussianLowpassPooling

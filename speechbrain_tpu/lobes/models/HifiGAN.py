@@ -17,8 +17,8 @@ from speechbrain_tpu.nnet.CNN import Conv1d, Conv2d, ConvTranspose1d
 
 
 def mel_spectogram(
-    sample_rate, hop_length, win_length, n_fft, n_mels, f_min, f_max, power,
-    normalized, norm, mel_scale, compression, audio,
+    audio=None, *, sample_rate, hop_length, win_length, n_fft, n_mels,
+    f_min, f_max, power, normalized, norm, mel_scale, compression,
 ):
     """Mel features for vocoder training (reference HifiGAN.py:51):
     slaney-style options approximated with the toolkit mel + log compression.

@@ -254,3 +254,46 @@ class FocalDecoder(nn.Module):
             causal=self.causal, name="stack",
         )(x, train=train)
         return Linear(self.output_dim, name="out")(x)
+
+
+class FocalNetEncoder(nn.Module):
+    """Focal-modulation classification encoder: (B, T, F) spectrogram
+    frames -> (B, T', hidden_dims[-1]) embeddings for a pooled
+    classifier head.
+
+    The reference's ESC50 focalnet configs wrap a pretrained 2-D
+    ``transformers.FocalNetBackbone`` over spectrogram images (ref
+    recipes/ESC50/classification/hparams/focalnet.yaml:98); here the
+    same focal-modulation mechanism runs natively over the time axis
+    with the full mel band as channel features — no image resize, no
+    pretrained-vision dependency.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> enc = FocalNetEncoder(hidden_dims=(16, 8), downscale_factors=(2, 2))
+    >>> x = jnp.ones((2, 20, 40))
+    >>> p = enc.init(jax.random.PRNGKey(0), x)
+    >>> enc.apply(p, x).shape
+    (2, 5, 8)
+    """
+
+    hidden_dims: tuple = (96, 192, 384, 768)
+    downscale_factors: tuple = (2, 2, 2, 2)
+    focal_window: int = 7
+    focal_level: int = 2
+    focal_factor: int = 2
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        return _FocalStack(
+            hidden_dims=tuple(self.hidden_dims),
+            scale_factors=tuple(self.downscale_factors),
+            upsample=False,
+            focal_window=self.focal_window,
+            focal_level=self.focal_level,
+            focal_factor=self.focal_factor,
+            dropout=self.dropout,
+            name="stack",
+        )(x, train=train)
