@@ -36,7 +36,10 @@ class L2IBrain(sb.Brain):
         (emb, reps), _ = self.module_apply(
             "embedding_model", params, state, feats, train=False
         )
-        emb = jnp.mean(emb, axis=1, keepdims=True)
+        if emb.ndim == 4:  # conv2d encoders: (B, T', F', C)
+            emb = jnp.mean(emb, axis=(1, 2))[:, None]
+        else:
+            emb = jnp.mean(emb, axis=1, keepdims=True)
         logits, _ = self.module_apply(
             "classifier", params, state, emb, mutable_state=[]
         )
@@ -92,7 +95,10 @@ class L2IBrain(sb.Brain):
             {k: {"embedding_model": v} for k, v in s_emb.items()},
             feats, train=False,
         )
-        emb = jnp.mean(emb, axis=1, keepdims=True)
+        if emb.ndim == 4:
+            emb = jnp.mean(emb, axis=(1, 2))[:, None]
+        else:
+            emb = jnp.mean(emb, axis=1, keepdims=True)
         p_cls, _ = self.init_module(rng, "classifier", emb)
         p_psi, s_psi = self.init_module(rng, "psi", reps, train=False)
         H, _ = self.module_apply(

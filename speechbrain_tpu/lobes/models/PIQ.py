@@ -129,20 +129,28 @@ class ResBlockAudio(nn.Module):
 
 class Conv2dEncoder_v2(nn.Module):
     """Log-spectrogram (B, T, F) -> embeddings (B, T/16, F/16, dim)
-    (reference PIQ.py:296)."""
+    (reference PIQ.py:296). ``return_reps=True`` additionally returns
+    the three coarsest stage maps (coarse -> fine) for the
+    interpretability heads — the Cnn14 ``(emb, reps)`` convention."""
 
     dim: int = 256
+    return_reps: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         x = x[..., None]
+        reps = []
         for i in range(4):
             x = nn.Conv(self.dim, (4, 4), strides=(2, 2), padding=1,
                         name=f"conv{i+1}")(x)
             x = nn.BatchNorm(use_running_average=not train,
                              name=f"bn{i+1}")(x)
             x = nn.relu(x)
-        return ResBlockAudio(self.dim, name="resblock")(x, train=train)
+            reps.append(x)
+        out = ResBlockAudio(self.dim, name="resblock")(x, train=train)
+        if self.return_reps:
+            return out, [out, reps[-1], reps[-2]]
+        return out
 
 
 class VectorQuantizedPSI_Audio(nn.Module):

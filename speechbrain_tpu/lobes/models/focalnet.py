@@ -284,10 +284,12 @@ class FocalNetEncoder(nn.Module):
     focal_level: int = 2
     focal_factor: int = 2
     dropout: float = 0.0
+    # return (emb, [map (B, T', 1, D)]) for the interpretability heads
+    return_reps: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
-        return _FocalStack(
+        out = _FocalStack(
             hidden_dims=tuple(self.hidden_dims),
             scale_factors=tuple(self.downscale_factors),
             upsample=False,
@@ -297,3 +299,6 @@ class FocalNetEncoder(nn.Module):
             dropout=self.dropout,
             name="stack",
         )(x, train=train)
+        if self.return_reps:
+            return out, [out[:, :, None, :]]
+        return out

@@ -40,6 +40,9 @@ class ViTEncoder(nn.Module):
     patch_size: tuple = (16, 16)
     dropout: float = 0.0
     max_patches: int = 4096
+    # return (tokens, [spatial_map]) for the interpretability heads
+    # (the Cnn14 (emb, reps) convention) instead of (tokens, attns)
+    return_reps: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -53,6 +56,7 @@ class ViTEncoder(nn.Module):
             padding="valid",
             name="patch_embed",
         )(h)
+        gt, gf = h.shape[1], h.shape[2]
         h = h.reshape(B, -1, self.d_model)  # (B, N, d)
         cls = self.param(
             "cls_token", nn.initializers.normal(0.02),
@@ -73,4 +77,7 @@ class ViTEncoder(nn.Module):
             normalize_before=True,
             name="encoder",
         )(h, train=train)
+        if self.return_reps:
+            spatial = out[:, 1:].reshape(B, gt, gf, self.d_model)
+            return out, [spatial]
         return out, attns
