@@ -44,6 +44,21 @@ class DiffusionBrain(sb.Brain):
     def compute_forward(self, params, state, batch, stage, rng):
         wavs, _ = batch["sig"]
         x = self.spec(wavs)
+        if hasattr(self.modules, "autoencoder"):
+            # latent diffusion (the reference's train_latent.yaml /
+            # diffusion_mode: latent): the normalizing autoencoder
+            # trains jointly on reconstruction; the UNet denoises in
+            # its latent space
+            (rec, z), _ = self.module_apply(
+                "autoencoder", params, state, x, mutable_state=[]
+            )
+            noisy, noise, t = self.diffuser.train_sample(
+                jax.lax.stop_gradient(z), rng
+            )
+            eps, _ = self.module_apply(
+                "unet", params, state, noisy, t, mutable_state=[]
+            )
+            return (eps, noise, rec, x), state
         noisy, noise, t = self.diffuser.train_sample(x, rng)
         eps, _ = self.module_apply(
             "unet", params, state, noisy, t, mutable_state=[]
@@ -51,6 +66,14 @@ class DiffusionBrain(sb.Brain):
         return (eps, noise), state
 
     def compute_objectives(self, predictions, batch, stage):
+        if len(predictions) == 4:
+            eps, noise, rec, x = predictions
+            diff = jnp.mean((eps - noise) ** 2)
+            T = min(rec.shape[1], x.shape[1])
+            F = min(rec.shape[2], x.shape[2])
+            rec_l = jnp.mean((rec[:, :T, :F] - x[:, :T, :F]) ** 2)
+            w = getattr(self.hparams, "rec_weight", 1.0)
+            return diff + w * rec_l, {"diffusion": diff, "rec": rec_l}
         eps, noise = predictions
         return jnp.mean((eps - noise) ** 2)
 
@@ -58,6 +81,13 @@ class DiffusionBrain(sb.Brain):
         wavs, _ = eb["sig"]
         x = self.spec(wavs)
         t = jnp.zeros((x.shape[0],), jnp.int32)
+        if hasattr(self.modules, "autoencoder"):
+            p_ae, _ = self.init_module(rng, "autoencoder", x)
+            (_, z), _ = self.module_apply(
+                "autoencoder", {"autoencoder": p_ae}, {}, x
+            )
+            p, _ = self.init_module(rng, "unet", z, t)
+            return {"params": {"unet": p, "autoencoder": p_ae}}
         p, _ = self.init_module(rng, "unet", x, t)
         return {"params": {"unet": p}}
 
@@ -138,7 +168,13 @@ if __name__ == "__main__":
         prepare_synthetic(hparams["data_folder"])
     datasets = dataio_prepare(hparams)
     brain = DiffusionBrain(
-        modules={"unet": hparams["unet"]},
+        modules={
+            "unet": hparams["unet"],
+            **(
+                {"autoencoder": hparams["autoencoder"]}
+                if "autoencoder" in hparams else {}
+            ),
+        },
         opt_class=lambda: optax.adam(hparams["lr"]),
         hparams=hparams,
         run_opts=run_opts,

@@ -45,6 +45,19 @@ class MTLBrain(sb.Brain):
         noisy, wav_lens = batch["noisy_sig"]
         clean, _ = batch["clean_sig"]
         train = stage == sb.Stage.TRAIN
+        if getattr(self.hparams, "perceptual_only", False):
+            # pretrain_perceptual stage (ref hparams/pretrain_perceptual
+            # .yaml): the perceptual ASR trains on CLEAN speech; the
+            # enhancement path is bypassed entirely
+            clean_mag = self.spec_mag(clean)
+            hidden, p_ctc, u = self._perceive(
+                params, state, clean, wav_lens, train, rng
+            )
+            ns = self.merge_state(state, "asr_model", u)
+            return (
+                clean_mag, clean_mag, hidden,
+                jax.lax.stop_gradient(hidden), p_ctc,
+            ), ns
         noisy_mag = self.spec_mag(noisy)
         mask, _ = self.module_apply(
             "enhance_model", params, state, noisy_mag, train=train,

@@ -132,12 +132,18 @@ class CTCPrefixScore:
         # MATMUL instead of take_along_axis — vocab-axis gathers lower
         # poorly on TPU while a (T, V) x (V, n_cand) contraction rides
         # the MXU
-        x_rep = jnp.repeat(self.x, beam, axis=0)  # (n_bh, T, V)
-        cand_onehot = jax.nn.one_hot(cands, self.V, dtype=x_rep.dtype)
-        x_c = jnp.einsum("btv,bcv->btc", x_rep, cand_onehot)
+        # group the beams of one utterance so the (B, T, V) posteriors
+        # are contracted WITHOUT materializing a beam-replicated copy
+        # (at beam 66 / vocab 5k that copy is GBs of HBM)
+        cand_onehot = jax.nn.one_hot(cands, self.V, dtype=self.x.dtype)
+        x_c = jnp.einsum(
+            "btv,bkcv->bktc",
+            self.x,
+            cand_onehot.reshape(self.B, beam, n_cand, self.V),
+        ).reshape(n_bh, self.T, n_cand)
         x_blank = jnp.repeat(
             self.x[:, :, self.blank_index], beam, axis=0
-        )  # (n_bh, T)
+        )  # (n_bh, T) — V-free, cheap
         # phi[t] = r_b_prev[t] + (r_n_prev[t] unless cand == last token)
         same_as_last = cands == last_tokens[:, None]  # (n_bh, n_cand)
         phi = jnp.logaddexp(

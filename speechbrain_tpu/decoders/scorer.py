@@ -157,7 +157,7 @@ class CTCScorer(BaseScorerInterface):
     def vocab_size(self):
         return self._impl.V
 
-    def reset_mem(self, x, enc_lens):
+    def reset_mem(self, x, enc_lens, n_bh=None):
         from speechbrain_tpu.decoders.ctc import CTCPrefixScore
 
         log_probs = self.ctc_fn(x)
@@ -165,11 +165,15 @@ class CTCScorer(BaseScorerInterface):
             log_probs, enc_lens, self.blank_index, self.eos_index,
             self.ctc_window_size,
         )
-        state = self._impl.init_state(x.shape[0])
+        # x may be the UNINFLATED per-utterance states with n_bh =
+        # batch*beam hypotheses: the prefix scorer shares the posteriors
+        # across each utterance's beams
+        n = n_bh or x.shape[0]
+        state = self._impl.init_state(n)
         # NOTE: the state dict must keep the same pytree structure across
         # the beam fori_loop carry: reset_mem and permute_and_select both
         # produce exactly {r_b, r_n, psi_prev, is_first}.
-        state["is_first"] = jnp.ones((x.shape[0],), bool)
+        state["is_first"] = jnp.ones((n,), bool)
         return state
 
     def is_partial(self):
@@ -359,10 +363,20 @@ class ScorerBuilder:
         self.partial_scorers = dict(partial_scorers)
         self.scorer_beam_scale = scorer_beam_scale
 
-    def reset_scorer_mem(self, x, enc_lens):
+    def reset_scorer_mem(self, x, enc_lens, x_shared=None,
+                         lens_shared=None):
+        """x is the beam-inflated encoder states. When ``x_shared`` (the
+        per-utterance states) is given, scorers that can share encoder
+        products across beams (the CTC prefix scorer) are reset from it
+        instead — their per-hypothesis state still sizes to x.shape[0]."""
         mem = {}
         for name, scorer in {**self.full_scorers, **self.partial_scorers}.items():
-            mem[name] = scorer.reset_mem(x, enc_lens)
+            if x_shared is not None and isinstance(scorer, CTCScorer):
+                mem[name] = scorer.reset_mem(
+                    x_shared, lens_shared, n_bh=x.shape[0]
+                )
+            else:
+                mem[name] = scorer.reset_mem(x, enc_lens)
         return mem
 
     def score(self, inp_tokens, memories, attn, log_probs, beam_size):

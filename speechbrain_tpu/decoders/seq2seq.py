@@ -295,7 +295,13 @@ class S2SBeamSearcher(S2SBaseSearcher):
         # beam-inflate encoder states: (B*K, T, D)
         enc_inflated = jnp.repeat(enc_states, K, axis=0)
         lens_inflated = jnp.repeat(wav_len, K, axis=0)
-        memory = self.reset_mem(n_bh, enc_inflated, lens_inflated)
+        if getattr(self, "reset_mem_uninflated", False):
+            # beam-shared caches (e.g. precomputed cross-attention K/V)
+            # are built from the per-utterance states; per-hypothesis
+            # buffers are still allocated at n_bh by the init fn
+            memory = self.reset_mem(n_bh, enc_states, wav_len)
+        else:
+            memory = self.reset_mem(n_bh, enc_inflated, lens_inflated)
         # Materialize broadcast (leading-dim-1) init leaves at batch*beam so
         # the axis-0 predecessor gather in permute_mem keeps shapes stable
         # across fori_loop iterations.
@@ -307,7 +313,15 @@ class S2SBeamSearcher(S2SBaseSearcher):
         )
         scorer_mem = None
         if self.scorer is not None:
-            scorer_mem = self.scorer.reset_scorer_mem(enc_inflated, lens_inflated)
+            if getattr(self, "reset_mem_uninflated", False):
+                scorer_mem = self.scorer.reset_scorer_mem(
+                    enc_inflated, lens_inflated,
+                    x_shared=enc_states, lens_shared=wav_len,
+                )
+            else:
+                scorer_mem = self.scorer.reset_scorer_mem(
+                    enc_inflated, lens_inflated
+                )
 
         # only beam 0 of each batch is live at step 0 (avoid duplicates,
         # reference init_beam_search_data:1326-1332)
@@ -773,9 +787,13 @@ class _KVDecodeMixin:
     leaves are batch-leading (the beam predecessor gather permutes
     axis 0)."""
 
-    def _setup_kv(self, decode_step_fn, init_cache_fn):
+    def _setup_kv(self, decode_step_fn, init_cache_fn,
+                  shared_cross_kv=False):
         self.decode_step_fn = decode_step_fn
         self.init_cache_fn = init_cache_fn
+        # build the cache from UNINFLATED encoder states: cross K/V stay
+        # per-utterance and broadcast over beams inside the attention
+        self.reset_mem_uninflated = shared_cross_kv
 
     def reset_mem(self, batch_size, enc_states, enc_lens):
         return self.init_cache_fn(batch_size, enc_states, enc_lens)
@@ -824,6 +842,8 @@ class S2SKVBeamSearcher(_KVDecodeMixin, S2SBeamSearcher):
     K/V buffers ride the standard predecessor gather (axis-0 permute of
     the cache pytree)."""
 
-    def __init__(self, decode_step_fn, init_cache_fn, **kwargs):
+    def __init__(self, decode_step_fn, init_cache_fn,
+                 shared_cross_kv=False, **kwargs):
         S2SBeamSearcher.__init__(self, **kwargs)
-        self._setup_kv(decode_step_fn, init_cache_fn)
+        self._setup_kv(decode_step_fn, init_cache_fn,
+                       shared_cross_kv=shared_cross_kv)

@@ -258,17 +258,23 @@ class TransformerASR(nn.Module):
         return self.decoder.init_cache(batch_size, max_len, dtype)
 
     def init_decoder_cache_with_cross(self, encoder_out, max_len,
-                                      dtype=jnp.float32):
+                                      self_batch=None, dtype=jnp.float32):
         """Decode cache with the cross-attention K/V of every layer
         PRECOMPUTED from the encoder states: decode_step then skips the
         per-step re-projection of the (static) memory — 2 x layers x
         d_model^2 x enc_T FLOPs saved per generated token (the standard
-        encoder-decoder serving optimization)."""
+        encoder-decoder serving optimization).
+
+        For beam search, pass the UNINFLATED encoder states with
+        ``self_batch=batch*beam``: the cross K/V stay one-per-utterance
+        (the attention broadcasts them over the beams) while the
+        per-hypothesis self K/V buffers are allocated at batch*beam —
+        at beam 66 this avoids gigabytes of replicated encoder K/V."""
         cross = self.decoder(
             None, encoder_out, cache="precompute_cross_kv"
         )
         cache = self.decoder.init_cache(
-            encoder_out.shape[0], max_len, dtype
+            self_batch or encoder_out.shape[0], max_len, dtype
         )
         return [
             {"self": c["self"], "cross": x}

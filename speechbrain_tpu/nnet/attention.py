@@ -274,9 +274,33 @@ class MultiheadAttention(nn.Module):
             }
         q = Linear(self.d_model, name="q_proj")(query)
         if precomputed_kv is not None:
-            q = q.reshape(B, Tq, self.nhead, hd).transpose(0, 2, 1, 3)
+            kv_b = precomputed_kv["k"].shape[0]
             kc = precomputed_kv["k"].transpose(0, 2, 1, 3)
             vc = precomputed_kv["v"].transpose(0, 2, 1, 3)
+            if kv_b != B:
+                # beam-SHARED K/V: the kv batch holds one entry per
+                # utterance while queries are beam-inflated (B = kv_b *
+                # beams). Group the beams into the query-time axis so the
+                # encoder K/V are never replicated per beam — at beam 66
+                # this is GBs of HBM (528 x enc_T x d_model x 2 x layers)
+                # that would otherwise be materialized.
+                G = B // kv_b
+                qg = q.reshape(kv_b, G * Tq, self.nhead, hd)
+                qg = qg.transpose(0, 2, 1, 3)  # (kv_b, H, G*Tq, hd)
+                bias = make_mask_bias(
+                    None if key_padding_mask is None
+                    else key_padding_mask.reshape(kv_b, G, -1)[:, 0],
+                    attn_mask, q.dtype,
+                )
+                out, w = scaled_dot_product_attention(
+                    qg, kc, vc, bias, None, 0.0, False
+                )
+                out = out.transpose(0, 2, 1, 3).reshape(
+                    B, Tq, self.d_model
+                )
+                out = Linear(self.d_model, name="out_proj")(out)
+                return out, jnp.mean(w, axis=1).reshape(B, Tq, -1)
+            q = q.reshape(B, Tq, self.nhead, hd).transpose(0, 2, 1, 3)
             bias = make_mask_bias(key_padding_mask, attn_mask, q.dtype)
             out, w = scaled_dot_product_attention(
                 q, kc, vc, bias, None, 0.0, False

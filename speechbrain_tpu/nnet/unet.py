@@ -176,3 +176,76 @@ class EncoderUNetModel(nn.Module):
                 h = Downsample(name=f"down_samp_{level}")(h)
         h = jnp.mean(h, axis=(1, 2))
         return Linear(self.out_channels, name="out")(h)
+
+
+class UNetNormalizingAutoencoder(nn.Module):
+    """Conv autoencoder for latent diffusion with a normalized latent
+    space (reference nnet/unet.py UNetNormalizingAutoencoder, used by
+    recipes/AudioMNIST/diffusion/hparams/train_latent.yaml): a
+    downsampling conv encoder to ``encoder_out_channels`` latent maps,
+    normalized to (norm_mean, norm_std), and an upsampling decoder back
+    to the input plane.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> ae = UNetNormalizingAutoencoder(in_channels=1, model_channels=8,
+    ...     encoder_out_channels=4, out_channels=1, channel_mult=(1, 2))
+    >>> x = jnp.ones((2, 16, 16, 1))
+    >>> v = ae.init(jax.random.PRNGKey(0), x)
+    >>> z = ae.apply(v, x, method="encode")
+    >>> z.shape
+    (2, 4, 4, 4)
+    >>> ae.apply(v, z, method="decode").shape
+    (2, 16, 16, 1)
+    """
+
+    in_channels: int = 1
+    model_channels: int = 32
+    encoder_out_channels: int = 4
+    out_channels: int = 1
+    channel_mult: tuple = (1, 2)
+    norm_mean: float = 0.0
+    norm_std: float = 1.0
+
+    def setup(self):
+        import flax.linen as fnn
+
+        self.enc_in = Conv2d(self.model_channels, (3, 3), name="enc_in")
+        self.enc_stages = [
+            fnn.Conv(self.model_channels * mult, (4, 4), strides=(2, 2),
+                     padding="SAME", name=f"enc_{level}")
+            for level, mult in enumerate(self.channel_mult)
+        ]
+        self.enc_out = Conv2d(self.encoder_out_channels, (3, 3),
+                              name="enc_out")
+        self.dec_in = Conv2d(
+            self.model_channels * self.channel_mult[-1], (3, 3),
+            name="dec_in",
+        )
+        self.dec_stages = [
+            fnn.ConvTranspose(self.model_channels * mult, (4, 4),
+                              strides=(2, 2), padding="SAME",
+                              name=f"dec_{level}")
+            for level, mult in enumerate(reversed(self.channel_mult))
+        ]
+        self.dec_out = Conv2d(self.out_channels, (3, 3), name="dec_out")
+
+    def encode(self, x):
+        h = self.enc_in(x)
+        for stage in self.enc_stages:
+            h = jax.nn.silu(stage(h))
+        z = self.enc_out(h)
+        mean = jnp.mean(z, axis=(1, 2, 3), keepdims=True)
+        std = jnp.std(z, axis=(1, 2, 3), keepdims=True) + 1e-8
+        return (z - mean) / std * self.norm_std + self.norm_mean
+
+    def decode(self, z):
+        h = self.dec_in(z)
+        for stage in self.dec_stages:
+            h = jax.nn.silu(stage(h))
+        return self.dec_out(h)
+
+    def __call__(self, x):
+        z = self.encode(x)
+        return self.decode(z), z

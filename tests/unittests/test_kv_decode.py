@@ -126,3 +126,37 @@ def test_precomputed_cross_kv_matches_plain_cache(model_and_enc):
     np.testing.assert_allclose(
         np.asarray(out_a2), np.asarray(out_b2), rtol=1e-5, atol=1e-5
     )
+
+
+def test_shared_cross_kv_matches_replicated():
+    """Beam-shared cross K/V (kv batch = utterances, query batch =
+    utterances*beams) must give identical outputs to replicating the
+    K/V per beam — the HBM saver behind full-config beam decoding."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.nnet.attention import MultiheadAttention
+
+    B, K, T, D, H = 2, 3, 7, 16, 4
+    mha = MultiheadAttention(nhead=H, d_model=D)
+    rng = jax.random.PRNGKey(0)
+    mem = jax.random.normal(rng, (B, T, D))
+    q = jax.random.normal(jax.random.PRNGKey(1), (B * K, 1, D))
+    q0 = jnp.zeros((B, 1, D))
+    v = mha.init(rng, q0, mem, mem)
+    kv = mha.apply(v, mem, mem, mem, return_kv_only=True)
+    kv_rep = {k: jnp.repeat(x, K, axis=0) for k, x in kv.items()}
+    lens = jnp.asarray([1.0, 5.0 / T])
+    kpm = jnp.arange(T)[None, :] >= jnp.round(lens * T)[:, None]
+    kpm_rep = jnp.repeat(kpm, K, axis=0)
+    out_shared, w_shared = mha.apply(
+        v, q, mem, mem, precomputed_kv=kv,
+        key_padding_mask=kpm_rep,
+    )
+    mem_rep = jnp.repeat(mem, K, axis=0)
+    out_rep, w_rep = mha.apply(
+        v, q, mem_rep, mem_rep, precomputed_kv=kv_rep,
+        key_padding_mask=kpm_rep,
+    )
+    assert jnp.allclose(out_shared, out_rep, atol=1e-5)
+    assert jnp.allclose(w_shared, w_rep, atol=1e-5)
