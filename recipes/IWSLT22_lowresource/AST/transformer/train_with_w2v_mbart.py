@@ -171,15 +171,24 @@ if __name__ == "__main__":
 
         prepare_synthetic(hparams["data_folder"])
     if hparams.get("mbart") is None:
-        from speechbrain_tpu.integrations.huggingface.mbart import mBART
+        # decoder_type: nllb swaps in the NLLB wrapper (the reference's
+        # train_*_nllb_st.yaml variants) — same seq2seq surface
+        if hparams.get("decoder_type", "mbart") == "nllb":
+            from speechbrain_tpu.integrations.huggingface.nllb import (
+                NLLB as DecoderModel,
+            )
+        else:
+            from speechbrain_tpu.integrations.huggingface.mbart import (
+                mBART as DecoderModel,
+            )
 
         if hparams["mbart_source"] == "debug-tiny":
             src = _tiny_mbart_config(
                 hparams["data_folder"], hparams["mbart_vocab"]
             )
-            hparams["mbart"] = mBART(src, config_only=True)
+            hparams["mbart"] = DecoderModel(src, config_only=True)
         else:
-            hparams["mbart"] = mBART(
+            hparams["mbart"] = DecoderModel(
                 hparams["mbart_source"], save_path=hparams["save_folder"],
                 target_lang=hparams["target_lang"],
             )

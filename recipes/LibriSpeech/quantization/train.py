@@ -58,11 +58,30 @@ def main(args):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("hparams", nargs="?", help="unused; harness compat")
-    ap.add_argument("--data_folder", required=True)
-    ap.add_argument("--output_folder", required=True)
-    ap.add_argument("--n_clusters", type=int, default=128)
-    ap.add_argument("--n_mels", type=int, default=80)
+    ap.add_argument("hparams", nargs="?",
+                    help="optional hparams yaml (defaults for the flags)")
+    ap.add_argument("--data_folder")
+    ap.add_argument("--output_folder")
+    ap.add_argument("--n_clusters", type=int)
+    ap.add_argument("--n_mels", type=int)
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--debug_utts", type=int, default=6)
-    main(ap.parse_known_args()[0])
+    args = ap.parse_known_args()[0]
+    if args.hparams and Path(args.hparams).exists():
+        from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
+
+        with open(args.hparams, encoding="utf-8") as f:
+            hp = load_hyperpyyaml(f, overrides={
+                k: v for k, v in (("data_folder", args.data_folder),)
+                if v is not None
+            })
+        args.data_folder = args.data_folder or hp.get("data_folder")
+        args.output_folder = args.output_folder or hp.get("output_folder")
+        args.n_clusters = args.n_clusters or hp.get("n_clusters", 128)
+        args.n_mels = args.n_mels or hp.get("n_mels", 80)
+    if not args.data_folder or not args.output_folder:
+        ap.error("--data_folder and --output_folder (or an hparams yaml) "
+                 "are required")
+    args.n_clusters = args.n_clusters or 128
+    args.n_mels = args.n_mels or 80
+    main(args)
