@@ -49,8 +49,33 @@ CASES = [
     pytest.param(
         "recipes/VoiceBank/dereverb/spectral_mask", "train.py",
         "hparams/train.yaml",
-        ["--batch_size=2"],
+        ["--batch_size=2", "--n_fft=64", "--win_length=4",
+         "--hop_length=2", "--hidden_size=16", "--lin_size=24"],
         id="voicebank-dereverb",
+    ),
+    # round-4 families
+    pytest.param(
+        "recipes/LibriSpeech/ASR/transformer", "train.py",
+        "hparams/hyperconformer_8M.yaml",
+        ["--vocab_size=32", "--num_encoder_layers=2",
+         "--num_decoder_layers=1", "--d_model=32", "--d_ffn=64",
+         "--nhead=4", "--batch_size=2"],
+        id="hyperconformer-hypermixing",
+    ),
+    pytest.param(
+        "recipes/WHAMandWHAMR/enhancement", "train.py",
+        "hparams/cnntransformer-wham-DM.yaml",
+        ["--batch_size=2", "--n_fft=64", "--win_length=8",
+         "--hop_length=4", "--base_channels=32", "--num_blocks=1",
+         "--nhead=4", "--intermediate_size=32"],
+        id="wham-cnntransformer-dm",
+    ),
+    pytest.param(
+        "recipes/BinauralWSJ0Mix/separation", "train.py",
+        "hparams/convtasnet-parallel.yaml",
+        ["--batch_size=2", "--enc_N=16", "--mask_B=8", "--mask_H=8",
+         "--mask_X=2", "--mask_R=1"],
+        id="binaural-convtasnet-parallel",
     ),
 ]
 
