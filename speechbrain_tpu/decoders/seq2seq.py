@@ -304,13 +304,28 @@ class S2SBeamSearcher(S2SBaseSearcher):
             memory = self.reset_mem(n_bh, enc_inflated, lens_inflated)
         # Materialize broadcast (leading-dim-1) init leaves at batch*beam so
         # the axis-0 predecessor gather in permute_mem keeps shapes stable
-        # across fori_loop iterations.
-        memory = jax.tree_util.tree_map(
-            lambda t: jnp.broadcast_to(t, (n_bh,) + t.shape[1:])
-            if hasattr(t, "shape") and t.ndim >= 1
-            and t.shape[0] == 1 and n_bh > 1 else t,
-            memory,
-        )
+        # across fori_loop iterations. Beam-shared "cross" entries are
+        # exempt: they are never permuted, and at B=1 a dim-1 leading axis
+        # is exactly the shared-per-utterance layout we want to KEEP.
+        def _materialize(t):
+            if (hasattr(t, "shape") and t.ndim >= 1
+                    and t.shape[0] == 1 and n_bh > 1):
+                return jnp.broadcast_to(t, (n_bh,) + t.shape[1:])
+            return t
+
+        if isinstance(memory, (list, tuple)) and all(
+            isinstance(layer, dict) for layer in memory
+        ):
+            memory = [
+                {
+                    k: (v if k == "cross"
+                        else jax.tree_util.tree_map(_materialize, v))
+                    for k, v in layer.items()
+                }
+                for layer in memory
+            ]
+        else:
+            memory = jax.tree_util.tree_map(_materialize, memory)
         scorer_mem = None
         if self.scorer is not None:
             if getattr(self, "reset_mem_uninflated", False):

@@ -102,8 +102,11 @@ def test_recipe_loss_drops(recipe_dir, script, hparams, flags, tmp_path):
         f"{recipe_dir} failed:\n{proc.stdout[-1500:]}\n{proc.stderr[-3000:]}"
     )
     log = (tmp_path / "out" / "train_log.txt").read_text()
+    # loggers label the train stat per task ("train loss", "train
+    # si-snr", ...) — match any of them
     losses = [
-        float(m) for m in re.findall(r"train loss: ([0-9.e+-]+)", log)
+        float(m)
+        for m in re.findall(r"train [a-z_-]+: ([0-9.e+-]+)", log)
     ]
     assert len(losses) >= 2, f"need >=2 epochs of train loss, got: {log}"
     assert losses[-1] < losses[0], (
