@@ -60,8 +60,7 @@ class CategoricalEncoder:
     _EXTRA_ATTRS = ("unk_label",)
 
     def __init__(self, starting_index=0, **special_labels):
-        self.lab2ind = {}
-        self.ind2lab = {}
+        self.lab2ind, self.ind2lab = {}, {}
         self.starting_index = starting_index
         self.handle_special_labels(special_labels)
 
@@ -85,8 +84,7 @@ class CategoricalEncoder:
         )
 
     def _bind(self, label, index):
-        self.lab2ind[label] = index
-        self.ind2lab[index] = label
+        self.lab2ind[label], self.ind2lab[index] = index, label
 
     # -- building ------------------------------------------------------------
     def add_label(self, label):
@@ -204,24 +202,22 @@ class CategoricalEncoder:
         body = "\n".join(lines) + ("\n" if lines else "")
         body += self.EXTRAS_SEPARATOR
         body += "\n".join(extra_lines) + ("\n" if extra_lines else "")
-        with open(path, "w", encoding="utf-8") as f:
-            f.write(body)
+        with open(path, "w", encoding="utf-8") as fo:
+            fo.write(body)
 
     def load(self, path):
-        with open(path, encoding="utf-8") as f:
-            text = f.read()
+        with open(path, encoding="utf-8") as fi:
+            text = fi.read()
         mapping_part, _, extras_part = text.partition(self.EXTRAS_SEPARATOR)
         lab2ind, ind2lab, extras = {}, {}, {}
         for line in mapping_part.splitlines():
             literal, _, ind = line.rpartition(self.VALUE_SEPARATOR)
-            label = ast.literal_eval(literal)
-            lab2ind[label] = int(ind)
-            ind2lab[int(ind)] = label
+            lab = ast.literal_eval(literal)
+            lab2ind[lab], ind2lab[int(ind)] = int(ind), lab
         for line in extras_part.splitlines():
             key, _, value = line.partition(self.VALUE_SEPARATOR)
             extras[ast.literal_eval(key)] = ast.literal_eval(value)
-        self.lab2ind = lab2ind
-        self.ind2lab = ind2lab
+        self.lab2ind, self.ind2lab = lab2ind, ind2lab
         self._set_extras(extras)
 
     def load_if_possible(self, path, end_of_epoch=False):
@@ -293,8 +289,7 @@ class TextEncoder(CategoricalEncoder):
     def add_bos_eos(self, bos_label=DEFAULT_BOS, eos_label=DEFAULT_EOS):
         for label in {bos_label, eos_label}:
             self.ensure_label(label)
-        self.bos_label = bos_label
-        self.eos_label = eos_label
+        self.bos_label, self.eos_label = bos_label, eos_label
 
     def insert_bos_eos(
         self, bos_label=DEFAULT_BOS, eos_label=DEFAULT_EOS, bos_index=0, eos_index=None
@@ -303,8 +298,7 @@ class TextEncoder(CategoricalEncoder):
         if eos_label != bos_label:
             where = bos_index + 1 if eos_index is None else eos_index
             self.enforce_label(eos_label, where)
-        self.bos_label = bos_label
-        self.eos_label = eos_label
+        self.bos_label, self.eos_label = bos_label, eos_label
 
     def get_bos_index(self):
         return self.encode_label(self.bos_label, allow_unk=False)
