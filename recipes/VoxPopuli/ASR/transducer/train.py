@@ -215,7 +215,7 @@ if __name__ == "__main__":
         datasets["valid"],
         train_loader_kwargs={"batch_size": hparams["batch_size"],
                              "shuffle": True,
-                             "pad_to_multiple": {"sig": 16000}},
+                             "pad_to_multiple": {"sig": 16000, "tokens": 16}},
         valid_loader_kwargs={"batch_size": hparams["batch_size"],
-                             "pad_to_multiple": {"sig": 16000}},
+                             "pad_to_multiple": {"sig": 16000, "tokens": 16}},
     )

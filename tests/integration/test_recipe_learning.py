@@ -21,7 +21,11 @@ CASES = [
         "hparams/conformer_transducer.yaml",
         ["--vocab_size=32", "--d_model=32", "--nhead=4", "--d_ffn=64",
          "--num_encoder_layers=2", "--joint_dim=32", "--dec_neurons=32",
-         "--emb_size=16", "--batch_size=2"],
+         "--emb_size=16", "--batch_size=2",
+         # sum-scale transducer loss (~1e3) + 3-sig-digit train log:
+         # at the recipe lr the 16-step drop is real but invisible in
+         # the log, so overfit hotter to make it observable
+         "--lr=0.01"],
         id="gigaspeech-rnnt",
     ),
     pytest.param(
@@ -29,7 +33,7 @@ CASES = [
         "hparams/conformer_transducer.yaml",
         ["--vocab_size=32", "--d_model=32", "--nhead=4", "--d_ffn=64",
          "--num_encoder_layers=2", "--joint_dim=32", "--dec_neurons=32",
-         "--emb_size=16", "--batch_size=2"],
+         "--emb_size=16", "--batch_size=2", "--lr=0.01"],
         id="voxpopuli-rnnt",
     ),
     pytest.param(
