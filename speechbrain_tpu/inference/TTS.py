@@ -22,17 +22,20 @@ class Tacotron2(Pretrained):
         seq = text_to_sequence(txt)
         return seq, len(seq)
 
-    def encode_batch(self, texts, max_decoder_steps=None):
-        """List of strings -> (mel_outputs (B, T, n_mel), mel_lengths)."""
+    def encode_batch(self, texts, max_decoder_steps=None, spk_embs=None):
+        """List of strings -> (mel_outputs (B, T, n_mel), mel_lengths).
+        ``spk_embs`` (B, E) conditions multi-speaker models
+        (MSTacotron2); single-speaker models ignore it."""
         from speechbrain_tpu.utils.data_utils import batch_pad_right
 
         seqs = [np.asarray(self.text_to_seq(t)[0], np.int32) for t in texts]
         tokens, lens = batch_pad_right(seqs)
+        kwargs = {} if spk_embs is None else {"spk_embs": jnp.asarray(spk_embs)}
         mel, lengths, gates = self.apply(
             "model", jnp.asarray(tokens), jnp.asarray(lens),
             max_steps=max_decoder_steps,
             rngs={"dropout": jax.random.PRNGKey(0)},
-            method="infer",
+            method="infer", **kwargs,
         )
         return mel, lengths
 
@@ -63,12 +66,49 @@ class FastSpeech2(Pretrained):
 
 class MSTacotron2(Tacotron2):
     """Zero-shot multi-speaker Tacotron2 (reference TTS.py:136): adds a
-    speaker embedding conditioning input."""
+    speaker embedding conditioning input threaded through synthesis."""
+
+    def _speaker_embedding(self, audio_path):
+        """Reference-audio -> (1, E) speaker embedding via the hparams
+        encoder (ref TTS.py:225-241)."""
+        spk_emb = self.hparams.spk_emb_encoder(
+            self.load_audio(audio_path)[None]
+        )
+        spk_emb = jnp.asarray(spk_emb)
+        if spk_emb.ndim == 3:  # (B, 1, E) classifier output
+            spk_emb = spk_emb[:, 0, :]
+        return spk_emb
 
     def clone_voice(self, texts, audio_path):
-        """Synthesize ``texts`` in the voice of ``audio_path``."""
-        spk_emb = self.hparams.spk_emb_encoder(self.load_audio(audio_path)[None])
-        return self.encode_batch(texts), spk_emb
+        """Synthesize ``texts`` in the voice of ``audio_path``: the
+        speaker embedding is repeated per text and passed into the
+        model's conditioned inference (ref TTS.py:209-252,
+        ``spk_embs = spk_emb.repeat(len(texts), 1)`` -> infer)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        spk_emb = self._speaker_embedding(audio_path)
+        spk_embs = jnp.repeat(spk_emb, len(texts), axis=0)
+        return self.encode_batch(texts, spk_embs=spk_embs)
+
+    def generate_random_voice(self, texts):
+        """Synthesize with a randomly sampled speaker embedding
+        (ref TTS.py:262-286 samples from a pretrained GMM; without one
+        in hparams, a unit-normal sample of the model's embedding size
+        is used)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        E = getattr(self.hparams, "spk_emb_size", None)
+        if E is None:
+            E = getattr(self.mods["model"], "spk_emb_size", 192)
+        sampler = getattr(self.hparams, "random_speaker_sampler", None)
+        if sampler is not None:
+            spk_emb = jnp.asarray(sampler(), jnp.float32).reshape(1, -1)
+        else:
+            spk_emb = jax.random.normal(
+                jax.random.PRNGKey(np.random.randint(2**31)), (1, E)
+            )
+        spk_embs = jnp.repeat(spk_emb, len(texts), axis=0)
+        return self.encode_batch(texts, spk_embs=spk_embs)
 
 
 class FastSpeech2InternalAlignment(FastSpeech2):

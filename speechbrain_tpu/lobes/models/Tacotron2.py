@@ -268,12 +268,19 @@ class Tacotron2(nn.Module):
         mel_post = mel_outs + self.postnet(mel_outs, train=train)
         return mel_outs, mel_post, gates, aligns
 
-    def infer(self, text, text_lens, max_steps=None):
+    def _condition(self, memory, spk_embs):
+        """Speaker-conditioning hook: identity here; MSTacotron2 projects
+        and adds the speaker embedding (ref MSTacotron2.py:353 threads
+        spk_embs through infer)."""
+        return memory
+
+    def infer(self, text, text_lens, max_steps=None, spk_embs=None):
         """Free-running inference with gate-based stopping (masked)."""
         max_steps = max_steps or self.max_decoder_steps
         B = text.shape[0]
         emb = self.embedding(text)
         memory = self.encoder(emb, train=False)
+        memory = self._condition(memory, spk_embs)
         processed_memory = self.attn_memory(memory)
         T_enc = memory.shape[1]
         mask = (

@@ -14,3 +14,4 @@ from speechbrain_tpu.nnet.quaternion_networks.q_linear import QLinear  # noqa: F
 from speechbrain_tpu.nnet.quaternion_networks.q_CNN import QConv1d, QConv2d  # noqa: F401
 from speechbrain_tpu.nnet.quaternion_networks.q_RNN import QLSTM, QRNN, QLiGRU  # noqa: F401
 from speechbrain_tpu.nnet.quaternion_networks.q_normalization import QBatchNorm  # noqa: F401
+from speechbrain_tpu.nnet.quaternion_networks.q_pooling import QPooling2d  # noqa: F401

@@ -111,3 +111,32 @@ def test_codec_augment():
     x = jnp.asarray(np.sin(np.arange(1600) * 0.1)[None], jnp.float32)
     out = aug(x, rng=KEY)
     assert out.shape == x.shape
+
+
+def test_qpooling2d():
+    """QPooling2d parity semantics (ref q_pooling.py:1-125): avg pools
+    each component; max keeps the WHOLE quaternion of largest magnitude
+    per window (components stay together)."""
+    from speechbrain_tpu.nnet.quaternion_networks import QPooling2d
+
+    x = jax.random.normal(KEY, (10, 15, 12))
+    pool = QPooling2d("max", (5, 3))
+    out = pool.apply({}, x)
+    assert out.shape == (10, 3, 4)
+
+    # hand-checkable case: one quaternion per window position
+    x = jnp.zeros((1, 2, 8))
+    # window (2, 1) over each component (1, 2, 2): candidates are the
+    # quaternions at t=0 and t=1 per feature column
+    x = x.at[0, 0].set(jnp.asarray([1.0, 0, 3.0, 0, 0.0, 0, 1.0, 0]))
+    x = x.at[0, 1].set(jnp.asarray([0.0, 2.0, -4.0, 1.0, 0.5, 0, 0.5, 0]))
+    out = QPooling2d("max", (2, 1)).apply({}, x)
+    assert out.shape == (1, 1, 8)
+    # col0 quaternions: t0 = (1, 3, 0, 1) |.|^2 = 11;
+    #                   t1 = (0, -4, 0.5, 0.5) |.|^2 = 16.5 -> t1 wins.
+    # col1: t0 = 0; t1 = (2, 1, 0, 0) -> t1 wins. Both winners sit in
+    # row t1, so the pooled row must equal x[0, 1] exactly.
+    assert np.allclose(np.asarray(out[0, 0]), np.asarray(x[0, 1]))
+    avg = QPooling2d("avg", (2, 1)).apply({}, x)
+    assert avg.shape == (1, 1, 8)
+    assert np.allclose(np.asarray(avg[0, 0, 0]), 0.5)  # mean of r column 0

@@ -52,6 +52,62 @@ def test_tts_and_vocoder_interfaces():
     assert wav.shape == (1, 48)
 
 
+def test_mstacotron2_clone_voice(tmp_path):
+    """clone_voice must CONDITION synthesis on the reference audio's
+    speaker embedding (ref inference/TTS.py:209-252): two different
+    reference audios -> different mels for the same text; the
+    unconditioned path stays available via encode_batch."""
+    from speechbrain_tpu.dataio.dataio import write_audio
+    from speechbrain_tpu.inference.TTS import MSTacotron2
+    from speechbrain_tpu.lobes.models.MSTacotron2 import (
+        MSTacotron2 as MSTacoModel,
+    )
+
+    net = MSTacoModel(
+        n_symbols=70, symbols_embedding_dim=16, encoder_embedding_dim=16,
+        encoder_n_convolutions=1, attention_rnn_dim=16, decoder_rnn_dim=16,
+        n_mel_channels=8, prenet_sizes=(16, 16), attention_dim=16,
+        attention_location_n_filters=4, attention_location_kernel_size=11,
+        postnet_embedding_dim=16, postnet_n_convolutions=2, spk_emb_size=24,
+    )
+    text = jnp.ones((1, 5), dtype=jnp.int32)
+    v = net.init(
+        {"params": KEY, "dropout": KEY}, text, jnp.ones(1),
+        jnp.ones((1, 6, 8)), jnp.ones((1, 24)),
+    )
+    # stub speaker encoder: embedding derived from the waveform content,
+    # so distinct audios yield distinct embeddings
+    spk_encoder = lambda wav: jnp.full((1, 24), jnp.mean(jnp.abs(wav)) * 10)
+    tts = MSTacotron2(
+        modules={"model": net},
+        hparams={"sample_rate": 16000, "spk_emb_encoder": spk_encoder,
+                 "spk_emb_size": 24},
+        params={"model": v["params"]},
+        model_state={"batch_stats": {"model": v["batch_stats"]}},
+    )
+    rng = np.random.default_rng(0)
+    wav_a = tmp_path / "spk_a.wav"
+    wav_b = tmp_path / "spk_b.wav"
+    write_audio(str(wav_a), 0.05 * rng.standard_normal(1600).astype("float32"), 16000)
+    write_audio(str(wav_b), 0.9 * rng.standard_normal(1600).astype("float32"), 16000)
+
+    mel_a, len_a = tts.clone_voice("hi there", str(wav_a))
+    mel_b, _ = tts.clone_voice("hi there", str(wav_b))
+    assert mel_a.shape == mel_b.shape
+    assert not np.allclose(np.asarray(mel_a), np.asarray(mel_b)), (
+        "different reference speakers must give different mels"
+    )
+    # same audio -> reproducible conditioning
+    mel_a2, _ = tts.clone_voice("hi there", str(wav_a))
+    assert np.allclose(np.asarray(mel_a), np.asarray(mel_a2))
+    # unconditioned synthesis still runs (spk_embs=None -> identity hook)
+    mel_u, _ = tts.encode_batch(["hi there"], max_decoder_steps=6)
+    assert mel_u.shape[0] == 1
+    # random-voice sampling threads a sampled embedding through
+    mel_r, _ = tts.generate_random_voice("hi there")
+    assert mel_r.shape[0] == 1
+
+
 def test_g2p_interface():
     from speechbrain_tpu.dataio.encoder import TextEncoder
     from speechbrain_tpu.inference.text import GraphemeToPhoneme
