@@ -28,8 +28,17 @@ import time
 import numpy as np
 
 # persistent XLA compilation cache: repeat driver runs skip the multi-
-# minute TPU compile of the beam-search program
+# minute TPU compile of the beam-search program. The env var alone is
+# ignored by the axon TPU plugin; enable_persistent_cache() goes through
+# jax.config (called lazily so `python bench.py --help`-style paths
+# don't import jax).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+
+def _enable_cache():
+    from speechbrain_tpu.utils.compile_cache import enable_persistent_cache
+
+    return enable_persistent_cache()
 
 
 def _progress(msg):
@@ -591,10 +600,13 @@ def bench_northstar(bf16=True, full_decode=False, batch=None):
 
     _progress(f"devices: {jax.devices()}")
     _progress("compiling encoder...")
+    t_c0 = time.perf_counter()
     jax.block_until_ready(encode_j(wavs, lens))
     _progress("encoder done; compiling+running beam search...")
     transcribe(wavs, lens)  # compile + run
-    _progress("beam search compiled; timing...")
+    compile_seconds = time.perf_counter() - t_c0
+    _progress(f"beam search compiled ({compile_seconds:.0f}s incl. first "
+              "run; persistent cache makes repeats fast); timing...")
     # median of 3 warm runs, with encode/decode phases timed separately
     # for the MFU estimates
     enc_times, tot_times = [], []
@@ -622,6 +634,7 @@ def bench_northstar(bf16=True, full_decode=False, batch=None):
         "mfu_decode": round(
             dec_flops / max(dec_dt, 1e-9) / V5E_PEAK_FLOPS, 4
         ),
+        "compile_seconds": round(compile_seconds, 1),
     }
     return C["batch"] * C["seconds"] / dt, mfu
 
@@ -815,6 +828,7 @@ def emit(metric, value, vs, extra=None):
 
 
 def main():
+    _enable_cache()
     if "--fbank" in sys.argv:
         value = bench_fbank_tpu()
         baseline = bench_fbank_torch()

@@ -26,12 +26,22 @@ from speechbrain_tpu.utils.logger import get_logger
 logger = get_logger(__name__)
 
 
-def _load_head(source, filename):
+def _load_head(source, filename, save_path=""):
     """Fetch a FlagEmbedding-format projection head (torch state dict
-    with ``weight``/``bias``) from a local checkpoint dir, as numpy."""
+    with ``weight``/``bias``) as numpy: from a local checkpoint dir, or
+    downloaded from the hub when ``source`` is a repo id (the reference
+    gets them through FlagEmbedding's own download)."""
     path = os.path.join(str(source), filename)
     if not os.path.isfile(path):
-        return None
+        try:
+            from huggingface_hub import hf_hub_download
+
+            path = hf_hub_download(
+                str(source), filename, cache_dir=save_path or None
+            )
+        except Exception as e:
+            logger.debug("no %s for %r (%r)", filename, source, e)
+            return None
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
@@ -92,13 +102,22 @@ class BGEM3SentenceEmbeddings:
             except Exception:
                 # ids-only operation (config_only tests, custom frontends)
                 self.tokenizer = None
-        self._dtype = jnp.float16 if use_fp16 else jnp.float32
-        self.sparse_head = sparse_weights or _load_head(
-            source, "sparse_linear.pt"
+        # the reference's use_fp16 runs the whole model reduced-precision;
+        # on TPU bfloat16 is the native reduced dtype (fp16 overflows in
+        # 1024-dim norms and has no MXU advantage), so the flag casts the
+        # BACKBONE params and the head math to bf16
+        self._dtype = jnp.bfloat16 if use_fp16 else jnp.float32
+        if use_fp16 and getattr(self.encoder, "params", None) is not None:
+            self.encoder.params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.encoder.params,
+            )
+        load = lambda name: (
+            None if config_only else _load_head(source, name, save_path)
         )
-        self.colbert_head = colbert_weights or _load_head(
-            source, "colbert_linear.pt"
-        )
+        self.sparse_head = sparse_weights or load("sparse_linear.pt")
+        self.colbert_head = colbert_weights or load("colbert_linear.pt")
 
         def heads(input_ids, attention_mask):
             hidden = self.encoder(input_ids, attention_mask)
@@ -164,6 +183,9 @@ class BGEM3SentenceEmbeddings:
         )
 
     def _lexical_dicts(self, input_ids, token_weights):
+        """Per-sentence ``{str(token_id): weight}`` dicts —
+        ``str`` keys match FlagEmbedding's lexical_weights contract, so
+        code written against either wrapper indexes them identically."""
         ids = np.asarray(input_ids)
         weights = np.asarray(token_weights)
         skip = self._special_ids()
@@ -172,7 +194,8 @@ class BGEM3SentenceEmbeddings:
             lex = {}
             for tid, w in zip(row_ids.tolist(), row_w.tolist()):
                 if w > 0 and tid not in skip:
-                    lex[tid] = max(lex.get(tid, 0.0), w)
+                    key = str(tid)
+                    lex[key] = max(lex.get(key, 0.0), w)
             out.append(lex)
         return out
 
@@ -195,6 +218,22 @@ class BGEM3SentenceEmbeddings:
                 chunk, padding=True, truncation=True,
                 max_length=self.max_length, return_tensors="np",
             )
+            # bucket the padded length to a multiple of 32 so the jitted
+            # heads compile for a bounded set of shapes instead of one
+            # program per distinct longest-sentence length
+            ids_np, mask_np = enc["input_ids"], enc["attention_mask"]
+            L = ids_np.shape[1]
+            Lb = min(-(-L // 32) * 32, self.max_length)
+            if Lb > L:
+                pad_id = (
+                    self.tokenizer.pad_token_id
+                    if self.tokenizer.pad_token_id is not None else 0
+                )
+                ids_np = np.pad(
+                    ids_np, ((0, 0), (0, Lb - L)), constant_values=pad_id
+                )
+                mask_np = np.pad(mask_np, ((0, 0), (0, Lb - L)))
+            enc = {"input_ids": ids_np, "attention_mask": mask_np}
             raw = self.encode_ids(enc["input_ids"], enc["attention_mask"])
             if self.return_dense:
                 dense.append(np.asarray(raw["dense_vecs"]))
@@ -215,7 +254,11 @@ class BGEM3SentenceEmbeddings:
         if self.return_dense:
             out["dense_vecs"] = np.concatenate(dense, axis=0)
         if self.return_sparse:
+            # both spellings: 'lexical_weights' (FlagEmbedding's output
+            # key) and 'sparse_vecs' (the reference wrapper's filter key,
+            # ref bgeM3_embeddings.py docstring) point at the same list
             out["lexical_weights"] = lexical
+            out["sparse_vecs"] = lexical
         if self.return_colbert_vecs:
             out["colbert_vecs"] = colbert
         return out

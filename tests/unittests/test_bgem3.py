@@ -3,6 +3,7 @@ integrations/nlp/bgeM3_embeddings.py wraps FlagEmbedding; ours computes
 dense / sparse / colbert natively — each head is checked numerically
 against the torch backbone here)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -81,11 +82,12 @@ def test_sparse_and_colbert_heads(tiny_xlmr):
     np.testing.assert_allclose(
         np.asarray(raw["colbert_vecs"]), want_cb, rtol=1e-4, atol=1e-5
     )
-    # host-side lexical aggregation: repeats keep the max, specials drop
+    # host-side lexical aggregation: repeats keep the max, specials drop;
+    # keys are str(token_id) — FlagEmbedding's lexical_weights contract
     lex = emb._lexical_dicts(ids, raw["token_weights"])[0]
-    assert set(lex) <= {7, 11}
-    if 7 in lex:
-        assert lex[7] == pytest.approx(
+    assert set(lex) <= {"7", "11"}
+    if "7" in lex:
+        assert lex["7"] == pytest.approx(
             max(want_lex[0, 1], want_lex[0, 2]), rel=1e-4
         )
 
@@ -98,6 +100,26 @@ def test_sparse_requested_without_weights_raises(tiny_xlmr):
     src, _ = tiny_xlmr
     with pytest.raises(RuntimeError, match="sparse"):
         BGEM3SentenceEmbeddings(src, from_pt=True, return_sparse=True)
+
+
+def test_use_fp16_runs_backbone_in_bf16(tiny_xlmr):
+    """use_fp16 maps to bfloat16 on TPU: backbone params are cast and
+    the dense output stays close to the fp32 result."""
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.integrations.nlp.bgeM3_embeddings import (
+        BGEM3SentenceEmbeddings,
+    )
+
+    src, _ = tiny_xlmr
+    emb32 = BGEM3SentenceEmbeddings(src, from_pt=True, use_fp16=False)
+    emb16 = BGEM3SentenceEmbeddings(src, from_pt=True, use_fp16=True)
+    leaves = jax.tree_util.tree_leaves(emb16.encoder.params)
+    assert any(x.dtype == jnp.bfloat16 for x in leaves)
+    ids = np.array([[0, 5, 9, 2]])
+    a = np.asarray(emb32.encode_ids(ids)["dense_vecs"], np.float32)
+    b = np.asarray(emb16.encode_ids(ids)["dense_vecs"], np.float32)
+    np.testing.assert_allclose(a, b, atol=0.06)
 
 
 def test_call_rejects_bad_inputs(tiny_xlmr):

@@ -25,6 +25,10 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 sys.path.insert(0, __file__.rsplit("/", 3)[0])
 
+from speechbrain_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 
 
@@ -46,7 +50,7 @@ def timed(fn, *args, iters=20, label="", carry=None):
             args[carry[0]] = out if carry[1] is None else out[carry[1]]
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"  {label:42s} {dt:8.2f} ms")
+    print(f"  {label:42s} {dt:8.2f} ms", flush=True)
     return dt, (args[carry[0]] if carry is not None else None)
 
 
@@ -189,6 +193,75 @@ def main():
         return jax.tree_util.tree_map(lambda t: jnp.take(t, idx, axis=0), cache)
 
     t_pl, lm_cache = timed(permute_lm, lm_cache, idx, label="LM KV permute", carry=(0, None))
+
+    # --- permute strategy variants on the REAL lm cache ------------------
+    src_beam = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None], (B, 1))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def permute_lm_ta(cache, src_beam):
+        def perm(t):
+            tb = t.reshape(B, K, -1)
+            out = jnp.take_along_axis(tb, src_beam[:, :, None], axis=1)
+            return out.reshape(t.shape)
+
+        return jax.tree_util.tree_map(perm, cache)
+
+    t_ta, lm_cache = timed(
+        permute_lm_ta, lm_cache, src_beam,
+        label="LM permute: block take_along_axis", carry=(0, None),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def permute_lm_oh(cache, src_beam):
+        P = jax.nn.one_hot(src_beam, K, dtype=jnp.bfloat16)
+
+        def perm(t):
+            tb = t.reshape(B, K, -1)
+            out = jnp.einsum(
+                "bij,bjm->bim", P, tb,
+                preferred_element_type=jnp.float32,
+            ).astype(t.dtype)
+            return out.reshape(t.shape)
+
+        return jax.tree_util.tree_map(perm, cache)
+
+    t_oh2, lm_cache = timed(
+        permute_lm_oh, lm_cache, src_beam,
+        label="LM permute: block one-hot einsum", carry=(0, None),
+    )
+
+    # fused variant: permute INSIDE the same program as the LM step (the
+    # real loop's situation — one fused XLA program per decode step)
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def lm_step_perm(toks, cache, step, src_beam):
+        logits, new_cache = lm.apply(v_lm, toks, cache, step, method="score_step")
+        idx = (src_beam + jnp.arange(B)[:, None] * K).reshape(-1)
+        new_cache = jax.tree_util.tree_map(
+            lambda t: jnp.take(t, idx, axis=0), new_cache
+        )
+        return jax.nn.log_softmax(logits.astype(jnp.float32) / 1.15, -1), new_cache
+
+    t_fused, lm_cache = timed(
+        lm_step_perm, toks, lm_cache, step, src_beam,
+        label="LM step+take-permute FUSED", carry=(1, 1),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def lm_step_perm_ta(toks, cache, step, src_beam):
+        logits, new_cache = lm.apply(v_lm, toks, cache, step, method="score_step")
+
+        def perm(t):
+            tb = t.reshape(B, K, -1)
+            out = jnp.take_along_axis(tb, src_beam[:, :, None], axis=1)
+            return out.reshape(t.shape)
+
+        new_cache = jax.tree_util.tree_map(perm, new_cache)
+        return jax.nn.log_softmax(logits.astype(jnp.float32) / 1.15, -1), new_cache
+
+    t_fused_ta, lm_cache = timed(
+        lm_step_perm_ta, toks, lm_cache, step, src_beam,
+        label="LM step+block-ta-permute FUSED", carry=(1, 1),
+    )
 
     # 5. top_k
     cand_scores = jnp.asarray(
