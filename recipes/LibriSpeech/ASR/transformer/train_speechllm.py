@@ -42,24 +42,35 @@ class SpeechLLMBrain(sb.Brain):
     audio+text embedding stream."""
 
     def compute_forward(self, params, state, batch, stage, rng):
-        wavs, wav_lens = batch["sig"]
         tokens_bos, _ = batch["tokens_bos"]
         train = stage == sb.Stage.TRAIN
         if self.hparams.freeze_llm:
             params = {
                 **params, "llm": jax.lax.stop_gradient(params["llm"]),
             }
-        feats = self.hparams.compute_features(wavs)
-        feats = self.hparams.normalize(feats, wav_lens)
-        feats, _ = self.module_apply(
-            "enc_proj", params, state, feats, mutable_state=[]
-        )
-        enc, _ = self.module_apply(
-            "speech_encoder", params, state, feats, train=train,
-            mutable_state=[],
-            rngs={"dropout": rng} if train else None,
-        )
-        enc = enc[0] if isinstance(enc, tuple) else enc
+        if getattr(self.hparams, "use_feats", False):
+            # pre-extracted SSL features (hparams/speechllm_ssl_feats:
+            # extract_ssl_feats.py cache replaces the live speech
+            # encoder, ref train_speechllm.py:135-147)
+            if "feats" not in batch:
+                raise ValueError(
+                    "use_feats=True but the batch provides no 'feats'; "
+                    "check feats_cache_dir and the data pipeline."
+                )
+            enc, _ = batch["feats"]
+        else:
+            wavs, wav_lens = batch["sig"]
+            feats = self.hparams.compute_features(wavs)
+            feats = self.hparams.normalize(feats, wav_lens)
+            feats, _ = self.module_apply(
+                "enc_proj", params, state, feats, mutable_state=[]
+            )
+            enc, _ = self.module_apply(
+                "speech_encoder", params, state, feats, train=train,
+                mutable_state=[],
+                rngs={"dropout": rng} if train else None,
+            )
+            enc = enc[0] if isinstance(enc, tuple) else enc
         # frame-rate reduction before the LLM (reference downsampler)
         k = self.hparams.downsample_factor
         enc = enc[:, ::k]
@@ -90,23 +101,27 @@ class SpeechLLMBrain(sb.Brain):
         return nll_loss(p_text, tokens_eos, length=tok_lens)
 
     def init_forward(self, rng, eb):
-        wavs, wav_lens = eb["sig"]
         tokens_bos, _ = eb["tokens_bos"]
-        feats = self.hparams.compute_features(wavs)
-        p_ep, _ = self.init_module(rng, "enc_proj", feats)
-        feats, _ = self.module_apply(
-            "enc_proj", {"enc_proj": p_ep}, {}, feats
-        )
-        p_enc, _ = self.init_module(rng, "speech_encoder", feats)
-        enc, _ = self.module_apply(
-            "speech_encoder", {"speech_encoder": p_enc}, {}, feats
-        )
-        enc = enc[0] if isinstance(enc, tuple) else enc
+        if getattr(self.hparams, "use_feats", False):
+            enc, _ = eb["feats"]
+            params = {}
+        else:
+            wavs, wav_lens = eb["sig"]
+            feats = self.hparams.compute_features(wavs)
+            p_ep, _ = self.init_module(rng, "enc_proj", feats)
+            feats, _ = self.module_apply(
+                "enc_proj", {"enc_proj": p_ep}, {}, feats
+            )
+            p_enc, _ = self.init_module(rng, "speech_encoder", feats)
+            enc, _ = self.module_apply(
+                "speech_encoder", {"speech_encoder": p_enc}, {}, feats
+            )
+            enc = enc[0] if isinstance(enc, tuple) else enc
+            params = {"enc_proj": p_ep, "speech_encoder": p_enc}
         enc = enc[:, :: self.hparams.downsample_factor]
         p_proj, _ = self.init_module(rng, "proj", enc)
         p_llm, _ = self.init_module(rng, "llm", tokens_bos)
-        return {"params": {"enc_proj": p_ep, "speech_encoder": p_enc,
-                           "proj": p_proj, "llm": p_llm}}
+        return {"params": {**params, "proj": p_proj, "llm": p_llm}}
 
     def on_stage_end(self, stage, stage_loss, epoch=None):
         if stage == sb.Stage.VALID:
@@ -147,13 +162,27 @@ def make_optimizer(hparams):
 
 
 def dataio_prepare(hparams, tokenizer):
+    use_feats = bool(hparams.get("use_feats", False))
     datasets = {}
     for split, key in (("train", "train_annotation"),
                        ("valid", "valid_annotation")):
         ds = DynamicItemDataset.from_json(
             hparams[key], replacements={"data_root": hparams["data_folder"]}
         )
-        ds.add_dynamic_item(read_audio, takes="wav", provides="sig")
+        if use_feats:
+            # pre-extracted SSL features from extract_ssl_feats.py's
+            # cache (pickle backend: one <id>.pkl per utterance)
+            import pickle
+
+            cache_dir = Path(hparams["feats_cache_dir"])
+
+            def load_feats(uid):
+                with open(cache_dir / f"{uid}.pkl", "rb") as fo:
+                    return np.asarray(pickle.load(fo), np.float32)
+
+            ds.add_dynamic_item(load_feats, takes="id", provides="feats")
+        else:
+            ds.add_dynamic_item(read_audio, takes="wav", provides="sig")
 
         def tokens_pipeline(words):
             ids = tokenizer.sp.encode_as_ids(words)
@@ -164,7 +193,10 @@ def dataio_prepare(hparams, tokenizer):
             tokens_pipeline, takes="words",
             provides=["tokens_bos", "tokens_eos"],
         )
-        ds.set_output_keys(["id", "sig", "tokens_bos", "tokens_eos"])
+        ds.set_output_keys(
+            ["id", "feats" if use_feats else "sig",
+             "tokens_bos", "tokens_eos"]
+        )
         datasets[split] = ds
     return datasets
 
@@ -193,6 +225,32 @@ if __name__ == "__main__":
         model_type=hparams["token_type"],
         annotation_format="json",
     )
+    if (
+        run_opts.get("debug")
+        and hparams.get("use_feats", False)
+        and not Path(hparams["feats_cache_dir"]).exists()
+    ):
+        # debug smoke runs: stand in for extract_ssl_feats.py with a
+        # quick fbank-features cache so the cached-feats plumbing
+        # (pickle per id -> load_feats -> padded batches) is exercised
+        # end to end without the SSL extraction pass
+        import pickle
+
+        cache = Path(hparams["feats_cache_dir"])
+        cache.mkdir(parents=True, exist_ok=True)
+        for key in ("train_annotation", "valid_annotation"):
+            ds = DynamicItemDataset.from_json(
+                hparams[key],
+                replacements={"data_root": hparams["data_folder"]},
+            )
+            ds.add_dynamic_item(read_audio, takes="wav", provides="sig")
+            ds.set_output_keys(["id", "sig"])
+            for item in ds:
+                feats = hparams["compute_features"](
+                    jnp.asarray(item["sig"])[None]
+                )[0]
+                with open(cache / f"{item['id']}.pkl", "wb") as fo:
+                    pickle.dump(np.asarray(feats), fo)
     datasets = dataio_prepare(hparams, tokenizer)
     brain = SpeechLLMBrain(
         modules=hparams["modules"],
@@ -201,13 +259,16 @@ if __name__ == "__main__":
         run_opts=run_opts,
         checkpointer=hparams["checkpointer"],
     )
+    pad = (
+        {"feats": 32} if hparams.get("use_feats", False)
+        else {"sig": 16000}
+    )
     brain.fit(
         hparams["epoch_counter"],
         datasets["train"],
         datasets["valid"],
         train_loader_kwargs={"batch_size": hparams["batch_size"],
-                             "shuffle": True,
-                             "pad_to_multiple": {"sig": 16000}},
+                             "shuffle": True, "pad_to_multiple": pad},
         valid_loader_kwargs={"batch_size": hparams["batch_size"],
-                             "pad_to_multiple": {"sig": 16000}},
+                             "pad_to_multiple": pad},
     )

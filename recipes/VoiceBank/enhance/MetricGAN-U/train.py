@@ -165,6 +165,31 @@ def main():
     params, opt_state = brain.params, brain.opt_state
     state = brain.model_state
     debug_batches = run_opts.get("debug_batches") or 0
+    # non-intrusive target metric (ref train.py:328 dispatches on
+    # target_metric in {"srmr", "dnsmos"})
+    target_metric = hparams.get("target_metric", "srmr")
+    if target_metric == "srmr":
+        metric_fn = lambda wav, lens: np.tanh(
+            srmr_batch(wav, lens) / hparams["srmr_scale"]
+        )
+    elif target_metric == "dnsmos":
+        # DNSMOS is a gated external service (the reference posts wavs
+        # to the DNS-challenge web API with a key from
+        # dns_challenge@microsoft.com, ref train.py:43,102-131). Any
+        # callable (wav_batch, lens) -> normalized scores can be
+        # injected through hparams["dnsmos_fn"]; without one the run
+        # fails with the same gate as the reference.
+        metric_fn = hparams.get("dnsmos_fn")
+        if metric_fn is None:
+            raise RuntimeError(
+                "target_metric=dnsmos needs hparams['dnsmos_fn'] (a "
+                "callable scoring enhanced waveforms). The official "
+                "DNSMOS is a web service: ask the key from the DNS "
+                "organizer dns_challenge@microsoft.com and wrap the "
+                "API call, or inject any local non-intrusive scorer."
+            )
+    else:
+        raise ValueError(f"unknown target_metric {target_metric!r}")
     # the metric scale the generator chases (running best, ref target=1
     # after metric normalization)
     target_high = float(hparams.get("target_score", 1.0))
@@ -181,10 +206,7 @@ def main():
             est_wav = np.asarray(brain.resynth(est_mag, noisy))
             # non-intrusive D target, squashed to [0, 1] like the
             # reference's normalized srmr/dnsmos targets
-            srmr = srmr_batch(est_wav, lens)
-            target = jnp.asarray(
-                np.tanh(srmr / hparams["srmr_scale"]), jnp.float32
-            )
+            target = jnp.asarray(metric_fn(est_wav, lens), jnp.float32)
             params, state, opt_state, d_l = d_step(
                 params, state, opt_state, (est_mag, target), k
             )

@@ -77,6 +77,29 @@ class DynamicItemDataset:
             self.pipeline.output_mapping = saved_output
             self.pipeline._order_cache = None
 
+    def iterate_once(self, output_keys=None, progressbar=True):
+        """Iterate the dataset once, discarding items — warms on-disk
+        caches of expensive dynamic items (reference dataset.py:188;
+        used by the SSL-feature extraction recipes).
+
+        Arguments
+        ---------
+        output_keys : list[str], optional
+            Restrict the computed keys (skip unrelated slow items).
+        progressbar : bool
+            Show a tqdm progress bar when available.
+        """
+        output_keys = output_keys or self.pipeline.output_mapping
+        try:
+            import tqdm
+
+            bar = lambda it: tqdm.tqdm(it, disable=not progressbar)
+        except ImportError:
+            bar = lambda it: it
+        with self.output_keys_as(output_keys):
+            for _ in bar(self):
+                pass
+
     def filtered_sorted(
         self,
         key_min_value=None,

@@ -67,3 +67,10 @@ def srmr_batch(wavs, lens=None, sample_rate=16000):
         )
         out[i] = srmr_ratio(w[:L], sample_rate)
     return out
+
+
+def srmr_batch_normalized(wavs, lens=None, sample_rate=16000, scale=100.0):
+    """SRMR squashed to [0, 1) with tanh(srmr / scale) — the normalized
+    non-intrusive target shape MetricGAN-U's discriminator regresses
+    (any (wavs, lens) -> [0, 1] scorer is pluggable there, e.g. DNSMOS)."""
+    return np.tanh(srmr_batch(wavs, lens, sample_rate) / scale)

@@ -161,15 +161,19 @@ class CachedDynamicItem(DynamicItem):
         return self.cache_location / (str(uid) + ".pkl")
 
     @classmethod
-    def cache(cls, save_dir):
-        """Decorator turning a DynamicItem into a cached one."""
+    def cache(cls, save_dir, **kwargs):
+        """Decorator turning a DynamicItem into a cached one. Extra
+        keyword arguments reach the subclass constructor (e.g.
+        ``compression`` for CachedHDF5DynamicItem, matching the
+        reference's ``@CachedHDF5DynamicItem.cache(dir, compression=...)``
+        usage in recipes)."""
 
         def wrap(item):
             if not isinstance(item, DynamicItem):
                 raise ValueError("Only a DynamicItem can be cached")
             return cls(
                 save_dir, takes=item.takes, func=item.func,
-                provides=item.provides,
+                provides=item.provides, **kwargs,
             )
 
         return wrap
