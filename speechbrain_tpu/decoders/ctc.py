@@ -135,11 +135,23 @@ class CTCPrefixScore:
         # group the beams of one utterance so the (B, T, V) posteriors
         # are contracted WITHOUT materializing a beam-replicated copy
         # (at beam 66 / vocab 5k that copy is GBs of HBM)
-        cand_onehot = jax.nn.one_hot(cands, self.V, dtype=self.x.dtype)
-        x_c = jnp.einsum(
-            "btv,bkcv->bktc",
-            self.x,
-            cand_onehot.reshape(self.B, beam, n_cand, self.V),
+        # bf16 hi/lo split: the contraction runs on the bf16 MXU path
+        # (~4x the fp32 rate on v5e) while reconstructing the fp32
+        # log-probs to ~16 mantissa bits — the selection itself is exact
+        # (0/1 coefficients), only the split bounds the value precision
+        cand_onehot = jax.nn.one_hot(
+            cands.reshape(self.B, beam * n_cand), self.V, dtype=jnp.bfloat16
+        )  # (B, beam*n_cand, V)
+        x_hi = self.x.astype(jnp.bfloat16)
+        x_lo = (self.x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_c = (
+            jnp.einsum("btv,bnv->btn", x_hi, cand_onehot,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("btv,bnv->btn", x_lo, cand_onehot,
+                         preferred_element_type=jnp.float32)
+        )
+        x_c = jnp.moveaxis(
+            x_c.reshape(self.B, self.T, beam, n_cand), 1, 2
         ).reshape(n_bh, self.T, n_cand)
         x_blank = jnp.repeat(
             self.x[:, :, self.blank_index], beam, axis=0

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from speechbrain_tpu.decoders.permute import gather_rows, gather_tree
+
 NEG_INF = -1e9
 
 
@@ -29,7 +31,7 @@ class BaseScorerInterface:
         raise NotImplementedError
 
     def permute_mem(self, memory, index):
-        return jax.tree_util.tree_map(lambda t: t[index], memory)
+        return gather_tree(memory, index, getattr(self, "_beam_layout", None))
 
     def reset_mem(self, x, enc_lens):
         return None
@@ -126,8 +128,8 @@ class KVTransformerLMScorer(BaseScorerInterface):
 
     def permute_mem(self, memory, index):
         return {
-            "cache": jax.tree_util.tree_map(
-                lambda t: t[index], memory["cache"]
+            "cache": gather_tree(
+                memory["cache"], index, getattr(self, "_beam_layout", None)
             ),
             "step": memory["step"],
         }
@@ -225,9 +227,32 @@ class CTCScorer(BaseScorerInterface):
         # (ref ctc.py:284-288: scoring_table miss -> index 0; psi select
         # reads the minus_inf-filled psi matrix). argmax already yields 0
         # on no-match, so only psi needs the mask.
-        state = self._impl.select_state(
-            jax.tree_util.tree_map(lambda t: t, new_states), hyp_index, cand_idx
-        )
+        layout = getattr(self, "_beam_layout", None)
+        if layout is not None:
+            # two-stage MXU form of the joint (hyp, cand) gather: permute
+            # hypothesis rows as a block-diag one-hot matmul, then select
+            # the chosen candidate with a fused one-hot lane reduce —
+            # the advanced-index gather on the (n_bh, T, n_cand) forward
+            # variables is a measured hot spot at beam 66
+            n_cand = new_states["r_b"].shape[-1]
+            sel = jax.nn.one_hot(
+                cand_idx, n_cand, dtype=new_states["r_b"].dtype
+            )[:, None, :]
+            r_b = jnp.sum(
+                gather_rows(new_states["r_b"], hyp_index, layout) * sel, -1
+            )
+            r_n = jnp.sum(
+                gather_rows(new_states["r_n"], hyp_index, layout) * sel, -1
+            )
+            psi = jnp.sum(
+                new_states["psi"][hyp_index] * sel[:, 0, :], -1
+            )
+            state = {"r_b": r_b, "r_n": r_n, "psi_prev": psi}
+        else:
+            state = self._impl.select_state(
+                jax.tree_util.tree_map(lambda t: t, new_states),
+                hyp_index, cand_idx,
+            )
         state["psi_prev"] = jnp.where(
             found, state["psi_prev"], self.CTC_MINUS_INF
         )
@@ -279,7 +304,9 @@ class CoverageScorer(BaseScorerInterface):
 
     def permute_mem(self, memory, index):
         return {
-            "coverage": memory["coverage"][index],
+            "coverage": gather_rows(
+                memory["coverage"], index, getattr(self, "_beam_layout", None)
+            ),
             "step": memory["step"],
         }
 
@@ -362,6 +389,13 @@ class ScorerBuilder:
         self.full_scorers = dict(full_scorers)
         self.partial_scorers = dict(partial_scorers)
         self.scorer_beam_scale = scorer_beam_scale
+
+    def set_beam_layout(self, batch, beam):
+        """Record the static (batch, beam) layout so scorer-memory
+        permutes can run as block-diag one-hot matmuls (the searcher
+        calls this before tracing the search loop)."""
+        for scorer in {**self.full_scorers, **self.partial_scorers}.values():
+            scorer._beam_layout = (batch, beam)
 
     def reset_scorer_mem(self, x, enc_lens, x_shared=None,
                          lens_shared=None):

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from speechbrain_tpu.decoders.permute import gather_rows
+
 NEG_INF = -1e9
 
 
@@ -55,11 +57,12 @@ class S2SBaseSearcher:
         raise NotImplementedError
 
     def permute_mem(self, memory, index):
-        """Reorder memory rows by ``index`` (predecessor gather)."""
+        """Reorder memory rows by ``index`` (predecessor gather). Large
+        float buffers ride the MXU as block-diagonal one-hot matmuls
+        when a beam layout is known (decoders/permute.py)."""
+        layout = getattr(self, "_beam_layout", None)
         return jax.tree_util.tree_map(
-            lambda t: jnp.take(t, index, axis=0) if hasattr(t, "shape") and t.ndim
-            else t,
-            memory,
+            lambda t: gather_rows(t, index, layout), memory
         )
 
     def change_max_decoding_length(self, min_decode_steps, max_decode_steps):
@@ -246,6 +249,11 @@ class S2SBeamSearcher(S2SBaseSearcher):
         min_steps = int(T * self.min_decode_ratio)
         max_steps = max(1, int(T * self.max_decode_ratio))
         min_steps, max_steps = self.change_max_decoding_length(min_steps, max_steps)
+        # static (batch, beam) layout: lets every predecessor gather of
+        # a large float buffer run as a block-diag one-hot matmul
+        self._beam_layout = (B, self.beam_size)
+        if self.scorer is not None:
+            self.scorer.set_beam_layout(B, self.beam_size)
 
         fin_seq, fin_scores, fin_lens, fin_count = self._search_jit(
             enc_states, wav_len, min_steps, max_steps
@@ -820,6 +828,7 @@ class _KVDecodeMixin:
         of one utterance, and predecessors only permute within an
         utterance, so gathering hundreds of MB of encoder K/V per step
         would be pure waste."""
+        layout = getattr(self, "_beam_layout", None)
         if isinstance(memory, (list, tuple)) and all(
             isinstance(layer, dict) for layer in memory
         ):
@@ -828,7 +837,7 @@ class _KVDecodeMixin:
                     k: (
                         v if k == "cross"
                         else jax.tree_util.tree_map(
-                            lambda t: jnp.take(t, index, axis=0), v
+                            lambda t: gather_rows(t, index, layout), v
                         )
                     )
                     for k, v in layer.items()
