@@ -541,9 +541,9 @@ def bench_northstar(bf16=True, full_decode=False, batch=None):
         sub, lens_p = pad_time_to_multiple(sub, lens, multiple=128)
         return net.apply(v, sub, wav_len=lens_p, method="encode"), lens_p
 
-    def decode_step_fn(toks, cache, enc_states, enc_lens, step):
+    def decode_step_fn(toks, cache, enc_states, enc_lens, step, anc=None):
         out, new_cache, attn = net.apply(
-            v, toks, enc_states, cache, step, method="decode_step"
+            v, toks, enc_states, cache, step, anc=anc, method="decode_step"
         )
         logits = seq_lin.apply(v_seq, out).astype(jnp.float32)
         # temperature on LOGITS, as the reference's forward_step does
@@ -554,8 +554,8 @@ def bench_northstar(bf16=True, full_decode=False, batch=None):
         weights={"ctc": C["ctc_weight"], "transformerlm": C["lm_weight"]},
         full_scorers={
             "transformerlm": KVTransformerLMScorer(
-                step_fn=lambda t, c, s: lm.apply(
-                    v_lm, t, c, s, method="score_step"
+                step_fn=lambda t, c, s, a=None: lm.apply(
+                    v_lm, t, c, s, anc=a, method="score_step"
                 ),
                 init_cache_fn=lambda n, L: lm.apply(
                     v_lm, n, L, method="init_cache",
@@ -563,6 +563,8 @@ def bench_northstar(bf16=True, full_decode=False, batch=None):
                 ),
                 max_length=max_steps + 1,
                 temperature=C["temperature"],
+                # ancestry beam decoding: LM cache rows never move
+                ancestry=True,
             )
         },
         partial_scorers={
@@ -586,6 +588,7 @@ def bench_northstar(bf16=True, full_decode=False, batch=None):
             dtype=jnp.bfloat16 if bf16 else jnp.float32,
         ),
         shared_cross_kv=True,
+        ancestry_kv=True,
         bos_index=C["bos"], eos_index=C["eos"], min_decode_ratio=0.0,
         max_decode_ratio=C["max_decode_ratio"], beam_size=C["beam"],
         using_eos_threshold=False, length_normalization=True,

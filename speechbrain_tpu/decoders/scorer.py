@@ -107,26 +107,56 @@ class KVTransformerLMScorer(BaseScorerInterface):
     """
 
     def __init__(self, step_fn, init_cache_fn, max_length=512,
-                 temperature=1.0):
+                 temperature=1.0, ancestry=False):
         self.step_fn = step_fn
         self.init_cache_fn = init_cache_fn
         self.max_length = max_length
         self.temperature = temperature
+        # ancestry=True: cache rows never move; ``step_fn`` takes a
+        # fourth (B_utt, beam, L) ancestry argument and routes it into
+        # the LM's cached attention (ops/beam_attention.py) — removes
+        # the per-step multi-GB cache permute of large-beam fusion
+        self.ancestry = ancestry
 
     def reset_mem(self, x, enc_lens):
-        return {
+        mem = {
             "cache": self.init_cache_fn(x.shape[0], self.max_length),
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.ancestry:
+            B, K = self._beam_layout
+            mem["anc"] = jnp.asarray(jnp.broadcast_to(
+                jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                (B, K, self.max_length),
+            ))
+        return mem
 
     def score(self, inp_tokens, memory, candidates, attn):
-        logits, cache = self.step_fn(
-            inp_tokens, memory["cache"], memory["step"]
-        )
+        if self.ancestry:
+            from speechbrain_tpu.decoders.seq2seq import _stamp_self_column
+
+            memory = {**memory,
+                      "anc": _stamp_self_column(memory["anc"],
+                                                memory["step"])}
+            logits, cache = self.step_fn(
+                inp_tokens, memory["cache"], memory["step"], memory["anc"]
+            )
+        else:
+            logits, cache = self.step_fn(
+                inp_tokens, memory["cache"], memory["step"]
+            )
         log_probs = jax.nn.log_softmax(logits / self.temperature, axis=-1)
-        return log_probs, {"cache": cache, "step": memory["step"] + 1}
+        return log_probs, {**memory, "cache": cache,
+                           "step": memory["step"] + 1}
 
     def permute_mem(self, memory, index):
+        if self.ancestry:
+            anc = memory["anc"]
+            B, K, L = anc.shape
+            anc = jnp.take(
+                anc.reshape(B * K, L), index, axis=0
+            ).reshape(B, K, L)
+            return {**memory, "anc": anc}
         return {
             "cache": gather_tree(
                 memory["cache"], index, getattr(self, "_beam_layout", None)

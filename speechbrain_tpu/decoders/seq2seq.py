@@ -31,6 +31,18 @@ from speechbrain_tpu.decoders.permute import gather_rows
 NEG_INF = -1e9
 
 
+def _stamp_self_column(anc, step):
+    """Set ancestry column ``step`` to each hypothesis' own row id (the
+    row that writes position ``step`` this decode step)."""
+    B, K, L = anc.shape
+    selfcol = jnp.broadcast_to(
+        jnp.arange(K, dtype=anc.dtype)[None, :, None], (B, K, 1)
+    )
+    return jax.lax.dynamic_update_slice_in_dim(
+        anc, jnp.asarray(selfcol), step, axis=2
+    )
+
+
 class S2SBaseSearcher:
     """Base class: subclasses implement the three pure functions below
     (reference seq2seq.py:54).
@@ -321,19 +333,25 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 return jnp.broadcast_to(t, (n_bh,) + t.shape[1:])
             return t
 
-        if isinstance(memory, (list, tuple)) and all(
-            isinstance(layer, dict) for layer in memory
-        ):
-            memory = [
-                {
-                    k: (v if k == "cross"
-                        else jax.tree_util.tree_map(_materialize, v))
-                    for k, v in layer.items()
-                }
-                for layer in memory
-            ]
-        else:
-            memory = jax.tree_util.tree_map(_materialize, memory)
+        def _materialize_mem(mem):
+            if isinstance(mem, (list, tuple)) and all(
+                isinstance(layer, dict) for layer in mem
+            ):
+                return [
+                    {
+                        k: (v if k == "cross"
+                            else jax.tree_util.tree_map(_materialize, v))
+                        for k, v in layer.items()
+                    }
+                    for layer in mem
+                ]
+            if isinstance(mem, dict) and "anc" in mem:
+                # ancestry mode: the table is already (B, K, L); only
+                # the wrapped per-layer cache needs materializing
+                return {**mem, "cache": _materialize_mem(mem["cache"])}
+            return jax.tree_util.tree_map(_materialize, mem)
+
+        memory = _materialize_mem(memory)
         scorer_mem = None
         if self.scorer is not None:
             if getattr(self, "reset_mem_uninflated", False):
@@ -808,18 +826,52 @@ class _KVDecodeMixin:
     -> (vocab log-probs (N, V), new_cache, attn);
     ``init_cache_fn(n, enc_states, enc_lens)`` -> cache pytree whose
     leaves are batch-leading (the beam predecessor gather permutes
-    axis 0)."""
+    axis 0).
+
+    ``ancestry_kv=True`` switches to ancestry beam decoding
+    (ops/beam_attention.py): self-KV cache rows never move — the
+    per-step permute of multi-GB caches (the measured dominant cost of
+    large-beam decoding) is replaced by a tiny int32 ancestry-table
+    gather, and ``decode_step_fn`` must accept a sixth ``anc`` argument
+    (B_utt, beam, L) that it forwards into the model's cached
+    attention."""
 
     def _setup_kv(self, decode_step_fn, init_cache_fn,
-                  shared_cross_kv=False):
+                  shared_cross_kv=False, ancestry_kv=False):
         self.decode_step_fn = decode_step_fn
         self.init_cache_fn = init_cache_fn
         # build the cache from UNINFLATED encoder states: cross K/V stay
         # per-utterance and broadcast over beams inside the attention
         self.reset_mem_uninflated = shared_cross_kv
+        self.ancestry_kv = ancestry_kv
+
+    def _cache_len(self, cache):
+        # prefer the per-hypothesis "self" buffers: beam-shared "cross"
+        # entries have a different (per-utterance, head-major) shape
+        if isinstance(cache, (list, tuple)) and cache and isinstance(
+            cache[0], dict
+        ) and "self" in cache[0]:
+            cache = cache[0]["self"]
+        for leaf in jax.tree_util.tree_leaves(cache):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+                return leaf.shape[1]
+        raise ValueError("empty decode cache")
 
     def reset_mem(self, batch_size, enc_states, enc_lens):
-        return self.init_cache_fn(batch_size, enc_states, enc_lens)
+        cache = self.init_cache_fn(batch_size, enc_states, enc_lens)
+        if not self.ancestry_kv:
+            return cache
+        K = self.beam_size
+        B_utt = batch_size // K
+        L = self._cache_len(cache)
+        # anc[b, h, t] = beam row holding position t of hypothesis h's
+        # history; initialised to "own row" — the per-step predecessor
+        # gather then makes every written position inherit the id of
+        # the row that wrote it
+        anc = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :, None], (B_utt, K, L)
+        )
+        return {"cache": cache, "anc": jnp.asarray(anc)}
 
     def permute_mem(self, memory, index):
         """Predecessor gather of the per-hypothesis cache — EXCEPT any
@@ -829,6 +881,14 @@ class _KVDecodeMixin:
         utterance, so gathering hundreds of MB of encoder K/V per step
         would be pure waste."""
         layout = getattr(self, "_beam_layout", None)
+        if self.ancestry_kv:
+            # cache rows NEVER move; only the ancestry table is gathered
+            anc = memory["anc"]
+            B_utt, K, L = anc.shape
+            anc = jnp.take(
+                anc.reshape(B_utt * K, L), index, axis=0
+            ).reshape(B_utt, K, L)
+            return {"cache": memory["cache"], "anc": anc}
         if isinstance(memory, (list, tuple)) and all(
             isinstance(layer, dict) for layer in memory
         ):
@@ -847,6 +907,18 @@ class _KVDecodeMixin:
         return super().permute_mem(memory, index)
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens, step):
+        if self.ancestry_kv:
+            # position ``step`` is written by each row itself THIS step,
+            # so its ancestry entry must read "own row" now; the value
+            # left there by earlier permutes is stale. Stamping it here
+            # (before the end-of-step permute) also makes the permute
+            # record the correct writer for all future steps.
+            anc = _stamp_self_column(memory["anc"], step)
+            log_probs, new_cache, attn = self.decode_step_fn(
+                inp_tokens, memory["cache"], enc_states, enc_lens, step,
+                anc,
+            )
+            return log_probs, {"cache": new_cache, "anc": anc}, attn
         log_probs, new_cache, attn = self.decode_step_fn(
             inp_tokens, memory, enc_states, enc_lens, step
         )
@@ -864,10 +936,12 @@ class S2SKVGreedySearcher(_KVDecodeMixin, S2SGreedySearcher):
 class S2SKVBeamSearcher(_KVDecodeMixin, S2SBeamSearcher):
     """Batched beam search over a KV-cached decode step: hypothesis
     K/V buffers ride the standard predecessor gather (axis-0 permute of
-    the cache pytree)."""
+    the cache pytree), or — with ``ancestry_kv=True`` — never move at
+    all (ancestry beam decoding, the TPU serving path)."""
 
     def __init__(self, decode_step_fn, init_cache_fn,
-                 shared_cross_kv=False, **kwargs):
+                 shared_cross_kv=False, ancestry_kv=False, **kwargs):
         S2SBeamSearcher.__init__(self, **kwargs)
         self._setup_kv(decode_step_fn, init_cache_fn,
-                       shared_cross_kv=shared_cross_kv)
+                       shared_cross_kv=shared_cross_kv,
+                       ancestry_kv=ancestry_kv)

@@ -120,7 +120,8 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, src_mask=None, src_key_padding_mask=None,
-                 pos_embs=None, train=False, cache=None, cache_index=None):
+                 pos_embs=None, train=False, cache=None, cache_index=None,
+                 anc=None):
         """Full-sequence encode, or KV-cached incremental decode of ONE
         position when ``cache`` ({"self": {"k","v"}}) is given (causal
         decoder-only stacks, e.g. TransformerLM shallow fusion): src is
@@ -136,7 +137,7 @@ class TransformerEncoderLayer(nn.Module):
         if cache is not None:
             out, attn_w, self_cache = attn(
                 src1, src1, src1, cache=cache["self"],
-                cache_index=cache_index,
+                cache_index=cache_index, anc=anc,
             )
             new_cache = {"self": self_cache}
         else:
@@ -206,7 +207,8 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, src, src_mask=None, src_key_padding_mask=None,
-                 pos_embs=None, train=False, cache=None, cache_index=None):
+                 pos_embs=None, train=False, cache=None, cache_index=None,
+                 anc=None):
         output = src
         attns = []
         new_cache = [] if cache is not None else None
@@ -230,7 +232,8 @@ class TransformerEncoder(nn.Module):
             )
             if cache is not None:
                 output, lc = layer(
-                    output, cache=cache[i], cache_index=cache_index
+                    output, cache=cache[i], cache_index=cache_index,
+                    anc=anc,
                 )
                 new_cache.append(lc)
             else:
@@ -247,17 +250,19 @@ class TransformerEncoder(nn.Module):
 
     def init_cache(self, batch_size, max_len, dtype=jnp.float32):
         """Explicit KV cache pytree for incremental (causal) decoding:
-        one {"self": {"k", "v"}} buffer of (B, max_len, H, hd) per
-        layer — the decoder-only/LM serving path."""
-        hd = self.d_model // self.nhead
+        one {"self": {"k", "v"}} buffer of (B, max_len, d_model) per
+        layer — the decoder-only/LM serving path. Heads stay MERGED in
+        the stored layout: the decode step reads the buffers with fused
+        per-head views, and the ancestry beam-attention kernel requires
+        the lane dimension to be the full model width."""
         return [
             {
                 "self": {
                     "k": jnp.zeros(
-                        (batch_size, max_len, self.nhead, hd), dtype
+                        (batch_size, max_len, self.d_model), dtype
                     ),
                     "v": jnp.zeros(
-                        (batch_size, max_len, self.nhead, hd), dtype
+                        (batch_size, max_len, self.d_model), dtype
                     ),
                 }
             }
@@ -280,7 +285,7 @@ class TransformerDecoderLayer(nn.Module):
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
                  tgt_key_padding_mask=None, memory_key_padding_mask=None,
                  pos_embs_tgt=None, pos_embs_src=None, train=False,
-                 cache=None, cache_index=None):
+                 cache=None, cache_index=None, anc=None):
         """Full-sequence decode, or KV-cached incremental decode of ONE
         position when ``cache`` ({"self": {"k","v"}}) is given: tgt is
         (B, 1, D), the step's projected K/V are written at cache_index,
@@ -305,7 +310,7 @@ class TransformerDecoderLayer(nn.Module):
         if cache is not None:
             out, self_w, self_cache = self_attn(
                 tgt1, tgt1, tgt1, cache=cache["self"],
-                cache_index=cache_index,
+                cache_index=cache_index, anc=anc,
             )
             new_cache = {"self": self_cache}
             if "cross" in cache:
@@ -370,7 +375,7 @@ class TransformerDecoder(nn.Module):
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
                  tgt_key_padding_mask=None, memory_key_padding_mask=None,
                  pos_embs_tgt=None, pos_embs_src=None, train=False,
-                 cache=None, cache_index=None):
+                 cache=None, cache_index=None, anc=None):
         output = tgt
         self_attns, cross_attns = [], []
         new_cache = [] if cache is not None else None
@@ -394,7 +399,7 @@ class TransformerDecoder(nn.Module):
                 output, lc, ca = layer(
                     output, memory,
                     memory_key_padding_mask=memory_key_padding_mask,
-                    cache=cache[i], cache_index=cache_index,
+                    cache=cache[i], cache_index=cache_index, anc=anc,
                 )
                 new_cache.append(lc)
                 sa = None
@@ -416,16 +421,16 @@ class TransformerDecoder(nn.Module):
 
     def init_cache(self, batch_size, max_len, dtype=jnp.float32):
         """Explicit KV cache pytree for incremental decoding: one
-        {"self": {"k", "v"}} buffer of (B, max_len, H, hd) per layer."""
-        hd = self.d_model // self.nhead
+        {"self": {"k", "v"}} buffer of (B, max_len, d_model) per layer
+        (heads merged — see TransformerEncoder.init_cache)."""
         return [
             {
                 "self": {
                     "k": jnp.zeros(
-                        (batch_size, max_len, self.nhead, hd), dtype
+                        (batch_size, max_len, self.d_model), dtype
                     ),
                     "v": jnp.zeros(
-                        (batch_size, max_len, self.nhead, hd), dtype
+                        (batch_size, max_len, self.d_model), dtype
                     ),
                 }
             }

@@ -281,7 +281,8 @@ class TransformerASR(nn.Module):
             for c, x in zip(cache, cross)
         ]
 
-    def decode_step(self, tgt_tokens, encoder_out, cache, step, enc_len=None):
+    def decode_step(self, tgt_tokens, encoder_out, cache, step, enc_len=None,
+                    anc=None):
         """KV-cached decode of ONE token: tgt_tokens (B,) int32 just
         consumed -> (decoder out (B, D), new_cache, last cross-attn).
         O(enc_T + step) work per step vs the full-buffer decode's
@@ -300,7 +301,7 @@ class TransformerASR(nn.Module):
         out, new_cache, cross_attns = self.decoder(
             emb, encoder_out,
             memory_key_padding_mask=memory_key_padding_mask,
-            cache=cache, cache_index=step,
+            cache=cache, cache_index=step, anc=anc,
         )
         return out[:, 0], new_cache, cross_attns[-1]
 

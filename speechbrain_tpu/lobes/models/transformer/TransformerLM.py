@@ -108,7 +108,7 @@ class TransformerLM(nn.Module):
         call via apply(..., method="init_cache")."""
         return self.encoder.init_cache(batch_size, max_len, dtype)
 
-    def score_step(self, tokens, cache, step):
+    def score_step(self, tokens, cache, step, anc=None):
         """KV-cached scoring of ONE token: tokens (B,) int32 just
         consumed -> (next-token logits (B, vocab), new_cache). O(step)
         work per step vs the full-buffer forward's O(L^2) — the shallow-
@@ -118,5 +118,6 @@ class TransformerLM(nn.Module):
         L = cache[0]["self"]["k"].shape[1]
         pe = self.pos(jnp.zeros((1, L, self.d_model), emb.dtype))
         emb = emb + jax.lax.dynamic_slice_in_dim(pe, step, 1, axis=1)
-        out, new_cache = self.encoder(emb, cache=cache, cache_index=step)
+        out, new_cache = self.encoder(emb, cache=cache, cache_index=step,
+                                      anc=anc)
         return self._head(out[:, 0]), new_cache

@@ -247,7 +247,7 @@ class MultiheadAttention(nn.Module):
     @nn.compact
     def __call__(self, query, key, value, attn_mask=None, key_padding_mask=None,
                  pos_embs=None, train=False, cache=None, cache_index=None,
-                 precomputed_kv=None, return_kv_only=False):
+                 precomputed_kv=None, return_kv_only=False, anc=None):
         """Standard call, or INCREMENTAL-DECODE call when ``cache`` is
         given: query is the new step (B, 1, D); the projected K/V of
         that step are written into the explicit cache pytree
@@ -321,22 +321,43 @@ class MultiheadAttention(nn.Module):
             # transpose dominated decode time at beam-search shapes:
             # 528 hyps x 257 positions x 12 heads measured ~12 ms/step
             # on v5e, vs ~2 ms for this form).
-            k_new = k.reshape(B, Tq, self.nhead, hd)
-            v_new = v.reshape(B, Tq, self.nhead, hd)
+            # cache buffers keep heads MERGED: (B, L, d_model)
             cache = {
                 "k": jax.lax.dynamic_update_slice_in_dim(
-                    cache["k"], k_new, cache_index, axis=1
+                    cache["k"], k, cache_index, axis=1
                 ),
                 "v": jax.lax.dynamic_update_slice_in_dim(
-                    cache["v"], v_new, cache_index, axis=1
+                    cache["v"], v, cache_index, axis=1
                 ),
             }
             L = cache["k"].shape[1]
+            if anc is not None:
+                # ancestry beam decoding: cache rows NEVER move; the
+                # (B_utt, K, L) ancestry table says which beam row holds
+                # each position of each hypothesis' history, and the
+                # fused kernel selects during attention — no per-step
+                # cache permute (ops/beam_attention.py)
+                from speechbrain_tpu.ops.beam_attention import (
+                    ancestry_attention,
+                )
+
+                B_utt, Kb = anc.shape[0], anc.shape[1]
+                out = ancestry_attention(
+                    q.reshape(B_utt, Kb, self.nhead, hd),
+                    cache["k"].reshape(B_utt, Kb, L, self.d_model),
+                    cache["v"].reshape(B_utt, Kb, L, self.d_model),
+                    anc, cache_index,
+                )
+                out = out.reshape(B, Tq, self.d_model)
+                out = Linear(self.d_model, name="out_proj")(out)
+                return out, None, cache
+            ck = cache["k"].reshape(B, L, self.nhead, hd)
+            cv = cache["v"].reshape(B, L, self.nhead, hd)
             qh = q.reshape(B, Tq, self.nhead, hd).astype(jnp.float32)
             qh = qh * (1.0 / math.sqrt(hd))
             # scores (B, L, H): multiply broadcast over L, lane-reduce hd
             scores = jnp.sum(
-                qh * cache["k"].astype(jnp.float32), axis=-1
+                qh * ck.astype(jnp.float32), axis=-1
             )
             # causal prefix: only cached positions <= cache_index attend
             scores = jnp.where(
@@ -345,7 +366,7 @@ class MultiheadAttention(nn.Module):
             )
             w = jax.nn.softmax(scores, axis=1)  # (B, L, H)
             out = jnp.sum(
-                w[..., None] * cache["v"].astype(jnp.float32), axis=1
+                w[..., None] * cv.astype(jnp.float32), axis=1
             )  # (B, H, hd)
             out = out.astype(query.dtype).reshape(B, Tq, self.d_model)
             out = Linear(self.d_model, name="out_proj")(out)

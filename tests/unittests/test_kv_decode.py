@@ -160,3 +160,59 @@ def test_shared_cross_kv_matches_replicated():
     )
     assert jnp.allclose(out_shared, out_rep, atol=1e-5)
     assert jnp.allclose(w_shared, w_rep, atol=1e-5)
+
+
+def test_ancestry_beam_matches_permuted_beam(model_and_enc):
+    """Ancestry beam decoding (cache rows never move; the fused
+    selection in ops/beam_attention.py replaces the per-step cache
+    permute) must produce the same hypotheses and scores as the
+    standard permuted-cache KV searcher."""
+    net, v, head, v_head, enc = model_and_enc
+    common = dict(bos_index=BOS, eos_index=EOS, min_decode_ratio=0.0,
+                  max_decode_ratio=0.4, beam_size=4)
+    step_fn, init_fn = _kv_fns(net, v, head, v_head)
+    kv = S2SKVBeamSearcher(step_fn, init_fn, **common)
+
+    def anc_step_fn(tokens, cache, enc_states, enc_lens, step, anc):
+        out, new_cache, attn = net.apply(
+            v, tokens, enc_states, cache, step, anc=anc,
+            method="decode_step",
+        )
+        logits = head.apply(v_head, out)
+        return jax.nn.log_softmax(logits, axis=-1), new_cache, attn
+
+    anc_kv = S2SKVBeamSearcher(anc_step_fn, init_fn, ancestry_kv=True,
+                               **common)
+    h1, l1, s1, _ = kv(enc, jnp.ones(2))
+    h2, l2, s2, _ = anc_kv(enc, jnp.ones(2))
+    assert h1 == h2, (h1, h2)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+
+def test_ancestry_beam_with_shared_cross(model_and_enc):
+    """Ancestry mode composes with beam-shared precomputed cross K/V."""
+    net, v, head, v_head, enc = model_and_enc
+    common = dict(bos_index=BOS, eos_index=EOS, min_decode_ratio=0.0,
+                  max_decode_ratio=0.4, beam_size=4)
+    step_fn, init_fn = _kv_fns(net, v, head, v_head)
+    kv = S2SKVBeamSearcher(step_fn, init_fn, **common)
+
+    def anc_step_fn(tokens, cache, enc_states, enc_lens, step, anc):
+        out, new_cache, attn = net.apply(
+            v, tokens, enc_states, cache, step, anc=anc,
+            method="decode_step",
+        )
+        logits = head.apply(v_head, out)
+        return jax.nn.log_softmax(logits, axis=-1), new_cache, attn
+
+    anc_kv = S2SKVBeamSearcher(
+        anc_step_fn,
+        lambda n, e, l: net.apply(
+            v, e, MAX_LEN, n, method="init_decoder_cache_with_cross"
+        ),
+        ancestry_kv=True, shared_cross_kv=True, **common,
+    )
+    h1, _, s1, _ = kv(enc, jnp.ones(2))
+    h2, _, s2, _ = anc_kv(enc, jnp.ones(2))
+    assert h1 == h2, (h1, h2)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
