@@ -72,16 +72,22 @@ def ancestry_attention_reference(q, k_cache, v_cache, anc, step):
     return out.reshape(B, K, D).astype(q.dtype)
 
 
-def _kernel(H, hd, n_t, t_tile):
+def _kernel(HP, hd, n_t, t_tile):
     from jax.experimental import pallas as pl
 
     def kernel(step_ref, q_ref, k_ref, v_ref, anc_ref, o_ref,
                m_s, l_s, acc_s):
+        # grid: (B, head_pairs, t_tiles), t innermost. Each grid step
+        # handles HP heads (HP*hd = 128 lanes — the block width), so the
+        # kernel body stays small (Mosaic compile time explodes on a
+        # fully unrolled 12-head body) and k/v blocks fetch only the
+        # 128-lane slice they use.
+        #
         # orientation note: every multi-dim temp keeps the HYPOTHESIS
         # axis in lanes and (source-row, time) merged along sublanes —
         # all reshapes are sublane-major merges/splits, which Mosaic
         # lowers without relayout (lane-dim splits are rejected).
-        ti = pl.program_id(1)
+        ti = pl.program_id(2)
         step = step_ref[0]
         Kb = q_ref.shape[1]
 
@@ -104,7 +110,7 @@ def _kernel(H, hd, n_t, t_tile):
             )  # varies over source row j
             # M[j, t, h] = (anc[h, t] == j) & (t <= step)
             Mf = ((anc_t[None] == j_iota) & tv[None]).astype(jnp.float32)
-            for h in range(H):
+            for h in range(HP):
                 qh = q_ref[0, :, h * hd:(h + 1) * hd].astype(jnp.float32)
                 qh = qh * (1.0 / math.sqrt(hd))
                 kh = k_ref[0, :, :, h * hd:(h + 1) * hd]
@@ -136,9 +142,11 @@ def _kernel(H, hd, n_t, t_tile):
 
         @pl.when(ti == n_t - 1)
         def _emit():
-            # emitted head-major (H, K, hd); the host reorders to (K, D)
-            out = acc_s[...] / l_s[...][..., :, None]
-            o_ref[0] = out.astype(o_ref.dtype)
+            out = acc_s[...] / l_s[...][..., :, None]  # (HP, K, hd)
+            for h in range(HP):
+                o_ref[0, 0, :, h * hd:(h + 1) * hd] = out[h].astype(
+                    o_ref.dtype
+                )
 
     return kernel
 
@@ -165,35 +173,47 @@ def _ancestry_attention_pallas(q, k_cache, v_cache, anc, step,
     anc = anc.reshape(B, K, n_t, Tt).transpose(0, 2, 3, 1)
 
     step_arr = jnp.full((1,), step, jnp.int32)
+    # heads per grid step: enough to fill one 128-lane block (or the
+    # whole width when the model is narrow) — keeps the kernel body
+    # small and the block lane width tiling-legal
+    if hd <= 128 and 128 % hd == 0 and H % max(1, 128 // hd) == 0:
+        HP = max(1, 128 // hd)
+    else:
+        HP = H  # whole-width block (W == D, always legal)
+    W = HP * hd
+    n_hp = H // HP
 
-    def kv_map(b, t, s):
-        return (b, 0, jnp.minimum(t, s[0] // Tt), 0)
+    def kv_map(b, hp, t, s):
+        return (b, 0, jnp.minimum(t, s[0] // Tt), hp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_t),
+        grid=(B, n_hp, n_t),
         in_specs=[
-            pl.BlockSpec((1, K, H * hd), lambda b, t, s: (b, 0, 0)),
-            pl.BlockSpec((1, K, Tt, D), kv_map),
-            pl.BlockSpec((1, K, Tt, D), kv_map),
+            pl.BlockSpec((1, K, W), lambda b, hp, t, s: (b, 0, hp)),
+            pl.BlockSpec((1, K, Tt, W), kv_map),
+            pl.BlockSpec((1, K, Tt, W), kv_map),
             pl.BlockSpec((1, 1, Tt, K),
-                         lambda b, t, s: (b, jnp.minimum(t, s[0] // Tt),
-                                          0, 0)),
+                         lambda b, hp, t, s: (b, jnp.minimum(t, s[0] // Tt),
+                                              0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, K, hd), lambda b, t, s: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, 1, K, W), lambda b, hp, t, s: (b, hp, 0, 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((H, K), jnp.float32),       # running max
-            pltpu.VMEM((H, K), jnp.float32),       # running denom
-            pltpu.VMEM((H, K, hd), jnp.float32),   # running numerator
+            pltpu.VMEM((HP, K), jnp.float32),       # running max
+            pltpu.VMEM((HP, K), jnp.float32),       # running denom
+            pltpu.VMEM((HP, K, hd), jnp.float32),   # running numerator
         ],
     )
     out = pl.pallas_call(
-        _kernel(H, hd, n_t, Tt),
+        _kernel(HP, hd, n_t, Tt),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, K, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n_hp, K, W), q.dtype),
         interpret=interpret,
     )(step_arr, q.reshape(B, K, H * hd), k_cache, v_cache,
       anc.astype(jnp.int32))
+    # (B, n_hp, K, W) -> (B, K, n_hp*W = D), heads in model order
     return jnp.moveaxis(out, 1, 2).reshape(B, K, D)
 
 

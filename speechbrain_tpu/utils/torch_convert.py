@@ -1387,6 +1387,27 @@ def resnet_key_map(key):
 # giving a one-call path from a reference torch .ckpt to our variables.
 # ---------------------------------------------------------------------------
 
+def sepformer_encoder_key_map(key):
+    """Reference dual_path Encoder (one bias-free nn.Conv1d, ref
+    dual_path.py:197-206) -> our Encoder: weight (O, I, K) -> conv/kernel
+    (K, I, O). Registered exactly because the square (C, 1, C) shape
+    defeats the heuristic loader's transpose detection."""
+    if key == "conv1d.weight":
+        return ("params/conv/kernel", (2, 1, 0))
+    return None
+
+
+def sepformer_decoder_key_map(key):
+    """Reference dual_path Decoder (a bare nn.ConvTranspose1d subclass,
+    ref dual_path.py:236) -> our Decoder: weight (I, O, K) ->
+    deconv/kernel (K, O, I) (transpose_kernel layout, nnet/CNN.py)."""
+    if key == "weight":
+        return ("params/deconv/kernel", (2, 1, 0))
+    if key == "bias":
+        return "params/deconv/bias"
+    return None
+
+
 _POUR_REGISTRY = {
     # qualified class name: ([state preprocessors], key_map factory);
     # bare class names are looked up as a fallback, so only ambiguous
@@ -1411,6 +1432,12 @@ _POUR_REGISTRY = {
     # (Branch|Conf)ormerEncoder qkv splits need nhead; handled inline
     "ConformerEncoder": ([], lambda m: conformer_encoder_key_map),
     "BranchformerEncoder": ([], lambda m: branchformer_encoder_key_map),
+    "speechbrain_tpu.lobes.models.dual_path.Encoder": (
+        [], lambda m: sepformer_encoder_key_map
+    ),
+    "speechbrain_tpu.lobes.models.dual_path.Decoder": (
+        [], lambda m: sepformer_decoder_key_map
+    ),
     "DualPathModel": (
         [split_torch_mha_inproj, reshape_sepformer_convs],
         lambda m: sepformer_masknet_key_map,
