@@ -224,7 +224,9 @@ def main():
         brain.save_checkpoint(
             meta={"mel_l1": valid_mel_l1}, min_keys=["mel_l1"]
         )
-        if run_opts.get("debug"):
+        if run_opts.get("debug") and epoch >= (
+            run_opts.get("debug_epochs") or 1
+        ):
             break
 
 

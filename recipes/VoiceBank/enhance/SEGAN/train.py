@@ -186,7 +186,9 @@ def main():
         )
         brain.save_checkpoint(meta={"g_loss": float(np.mean(g_losses))},
                               min_keys=["g_loss"])
-        if run_opts.get("debug"):
+        if run_opts.get("debug") and epoch >= (
+            run_opts.get("debug_epochs") or 1
+        ):
             break
 
 

@@ -219,7 +219,9 @@ def main():
             meta={"g_loss": sum(g_losses) / len(g_losses)},
             min_keys=["g_loss"],
         )
-        if run_opts.get("debug"):
+        if run_opts.get("debug") and epoch >= (
+            run_opts.get("debug_epochs") or 1
+        ):
             break
 
 

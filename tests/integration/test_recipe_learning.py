@@ -81,7 +81,45 @@ CASES = [
          "--mask_X=2", "--mask_R=1"],
         id="binaural-convtasnet-parallel",
     ),
+    # round-5 families (VERDICT r4 #9): TTS, vocoder, interpret,
+    # speaker verification
+    pytest.param(
+        "recipes/LJSpeech/TTS/tacotron2", "train.py", "hparams/train.yaml",
+        ["--batch_size=2", "--sample_rate=16000",
+         "--symbols_embedding_dim=32", "--encoder_embedding_dim=32",
+         "--attention_rnn_dim=32", "--decoder_rnn_dim=32",
+         "--attention_dim=16", "--postnet_embedding_dim=32"],
+        id="ljspeech-tacotron2",
+    ),
+    pytest.param(
+        "recipes/LJSpeech/TTS/vocoder/hifigan", "train.py",
+        "hparams/train.yaml",
+        ["--batch_size=2", "--segment_size=4096",
+         "--upsample_initial_channel=32"],
+        id="ljspeech-hifigan",
+    ),
+    pytest.param(
+        "recipes/ESC50/classification", "train.py", "hparams/cnn14.yaml",
+        ["--batch_size=2", "--base_channels=4", "--emb_dim=32",
+         "--n_classes=4"],
+        id="esc50-cnn14",
+    ),
+    pytest.param(
+        "recipes/VoxCeleb/SpeakerRec", "train_speaker_embeddings.py",
+        "hparams/train_ecapa_tdnn.yaml",
+        ["--batch_size=2", "--sentence_len=1.0"],
+        id="voxceleb-ecapa",
+    ),
 ]
+
+
+# cases whose train-side stat is not a convergence signal (GAN
+# adversarial losses): assert on the logged quality metric instead
+STAT_OVERRIDES = {
+    # hifigan logs adversarial d_loss/g_loss (not monotone by design);
+    # the vocoder-quality signal is the validation mel-L1
+    "recipes/LJSpeech/TTS/vocoder/hifigan": r"mel_l1: ([0-9.e+-]+)",
+}
 
 
 @pytest.mark.parametrize("recipe_dir,script,hparams,flags", CASES)
@@ -108,10 +146,10 @@ def test_recipe_loss_drops(recipe_dir, script, hparams, flags, tmp_path):
     log = (tmp_path / "out" / "train_log.txt").read_text()
     # loggers label the train stat per task ("train loss", "train
     # si-snr", ...) — match any of them
-    losses = [
-        float(m)
-        for m in re.findall(r"train [a-z_-]+: ([0-9.e+-]+)", log)
-    ]
+    pattern = STAT_OVERRIDES.get(
+        recipe_dir, r"train [a-z_-]+: ([0-9.e+-]+)"
+    )
+    losses = [float(m) for m in re.findall(pattern, log)]
     assert len(losses) >= 2, f"need >=2 epochs of train loss, got: {log}"
     assert losses[-1] < losses[0], (
         f"{recipe_dir}: loss did not drop: {losses}"
