@@ -408,6 +408,20 @@ def bench_train(bf16=False, remat=False):
 
 V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
 
+# MEASURED reference full-decode baseline (replaces round-4's
+# estimate-in-a-comment): /root/reference speechbrain conformer-large +
+# TransformerLM-fused joint CTC/attention S2STransformerBeamSearcher at
+# the published test config (beam=66, max_decode_ratio=1.0), torch CPU
+# on this container, batch 2 x 2 s utterances, best of 2 warm passes
+# (measured 2026-08-19, wall 2483 s for the run; audio-s/s is
+# length-normalized so the short utterances do not bias it in our
+# favor). Re-measure live with `--full-decode --measure-baseline`.
+FULL_DECODE_BASELINE_AUDIO_S_PER_S = 0.0077
+FULL_DECODE_BASELINE_NOTE = (
+    "measured 2026-08-19 on this container (torch CPU, beam 66, "
+    "ratio 1.0, 2x2s, best-of-2); re-measure: --measure-baseline"
+)
+
 
 def _encoder_flops(C, T):
     """Analytic forward FLOPs of the conformer-large encoder on T frames
@@ -610,21 +624,32 @@ def bench_northstar(bf16=True, full_decode=False, batch=None):
     compile_seconds = time.perf_counter() - t_c0
     _progress(f"beam search compiled ({compile_seconds:.0f}s incl. first "
               "run; persistent cache makes repeats fast); timing...")
-    # median of 3 warm runs, with encode/decode phases timed separately
-    # for the MFU estimates
-    enc_times, tot_times = [], []
+    # encode phase: chained-difference timing. block_until_ready does
+    # NOT reliably wait on the axon tunnel (naive loops report
+    # physically impossible rates), so iterations are chained through a
+    # scalar dependency and a short chain is differenced from a long
+    # one to cancel dispatch/fetch overhead.
+    def _enc_chain(w, n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            enc, _lp = encode_j(w, lens)
+            w = w + (enc.ravel()[:1] * 0).astype(w.dtype).reshape(1, 1)
+        float(jnp.sum(w.ravel()[:1]))
+        return time.perf_counter() - t0
+
+    _enc_chain(wavs, 2)
+    enc_dt = (_enc_chain(wavs, 13) - _enc_chain(wavs, 3)) / 10
+    # decode phase: the searcher ends in host-side gathers, which force
+    # a real device sync per call — direct median-of-3 is trustworthy
+    enc, lens_p = encode_j(wavs, lens)
+    float(jnp.sum(enc.ravel()[:1].astype(jnp.float32)))
+    dec_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        enc, lens_p = encode_j(wavs, lens)
-        jax.block_until_ready(enc)
-        t1 = time.perf_counter()
         searcher(enc, lens_p)
-        t2 = time.perf_counter()
-        enc_times.append(t1 - t0)
-        tot_times.append(t2 - t0)
-    enc_dt = sorted(enc_times)[1]
-    dt = sorted(tot_times)[1]
-    dec_dt = dt - enc_dt
+        dec_times.append(time.perf_counter() - t0)
+    dec_dt = sorted(dec_times)[1]
+    dt = enc_dt + dec_dt
     # analytic MFU: model FLOPs / phase time / chip bf16 peak
     enc_flops = C["batch"] * _encoder_flops(C, enc_T)
     n_steps = max(1, int(enc_T * C["max_decode_ratio"]))
@@ -734,23 +759,27 @@ def bench_northstar_reference_torch():
             length_normalization=True, scorer=scorer,
         )
         wavs = torch.randn(batch, int(SR * seconds))
+        n_timed = 1 if C["max_decode_ratio"] >= 1.0 else 3
         with torch.no_grad():
-            # one warm-up pass, then best of 2 (CPU timings jitter)
+            # one warm-up pass, then median of 3 with the raw seconds
+            # recorded (round-4's best-of-2 wobbled ~60% between runs)
             feats = fbank(wavs)
             sub = fe(feats.unsqueeze(-1))
             sub = sub.reshape(sub.shape[0], sub.shape[1], -1)
             enc = net.encode(sub, torch.ones(batch))
             searcher(enc, torch.ones(batch))
-            best = float("inf")
-            for _ in range(2):
+            raws = []
+            for _ in range(n_timed):
                 t0 = time.perf_counter()
                 feats = fbank(wavs)
                 sub = fe(feats.unsqueeze(-1))
                 sub = sub.reshape(sub.shape[0], sub.shape[1], -1)
                 enc = net.encode(sub, torch.ones(batch))
                 searcher(enc, torch.ones(batch))
-                best = min(best, time.perf_counter() - t0)
-        return batch * seconds / best
+                raws.append(round(time.perf_counter() - t0, 2))
+        bench_northstar_reference_torch.raw_seconds = raws
+        med = sorted(raws)[len(raws) // 2]
+        return batch * seconds / med
     except Exception as e:
         print(f"reference northstar baseline unavailable: {e!r}",
               file=sys.stderr)
@@ -875,14 +904,24 @@ def main():
             batch = int(a.split("=", 1)[1])
     if "--full-decode" in sys.argv:
         # the PUBLISHED decode config (beam=66, ratio=1.0, ref
-        # conformer_large.yaml test settings). No CPU baseline: the
-        # reference takes ~30-40x the scaled config's ~80 s per
-        # utterance at this setting.
+        # conformer_large.yaml test settings)
         value, mfu = bench_northstar(bf16=True, full_decode=True,
                                      batch=batch)
+        if "--measure-baseline" in sys.argv:
+            # live re-measurement: the reference needs ~40+ min of CPU
+            # for one warm pass at this config, so the default uses the
+            # stored measurement below
+            C = NORTH
+            C["beam"], C["max_decode_ratio"], C["seconds"] = 66, 1.0, 2.0
+            baseline = bench_northstar_reference_torch()
+        else:
+            baseline = FULL_DECODE_BASELINE_AUDIO_S_PER_S
         emit(
             "northstar_full_decode_beam66_throughput_bf16",
-            value, None, extra=mfu,
+            value,
+            value / baseline if baseline else None,
+            extra={**mfu, "baseline_audio_s_per_s": baseline,
+                   "baseline_provenance": FULL_DECODE_BASELINE_NOTE},
         )
         return
     # default: THE NORTH STAR — conformer-large + TransformerLM-fused
@@ -892,6 +931,14 @@ def main():
     baseline = None
     if "--no-baseline" not in sys.argv:
         baseline = bench_northstar_reference_torch()
+        mfu = {
+            **mfu,
+            "baseline_audio_s_per_s": round(baseline, 3) if baseline
+            else None,
+            "baseline_raw_seconds": getattr(
+                bench_northstar_reference_torch, "raw_seconds", None
+            ),
+        }
     emit(
         "northstar_lmfused_beam_transcribe_throughput"
         + ("_bf16" if bf16 else "_fp32"),

@@ -125,9 +125,15 @@ class KVTransformerLMScorer(BaseScorerInterface):
         }
         if self.ancestry:
             B, K = self._beam_layout
+            # match the CACHE's (possibly tile-rounded) length so the
+            # beam-attention kernel never pads the multi-GB buffers
+            L = next(
+                leaf.shape[1]
+                for leaf in jax.tree_util.tree_leaves(mem["cache"])
+                if hasattr(leaf, "ndim") and leaf.ndim >= 2
+            )
             mem["anc"] = jnp.asarray(jnp.broadcast_to(
-                jnp.arange(K, dtype=jnp.int32)[None, :, None],
-                (B, K, self.max_length),
+                jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, L)
             ))
         return mem
 
@@ -259,23 +265,39 @@ class CTCScorer(BaseScorerInterface):
         # on no-match, so only psi needs the mask.
         layout = getattr(self, "_beam_layout", None)
         if layout is not None:
-            # two-stage MXU form of the joint (hyp, cand) gather: permute
-            # hypothesis rows as a block-diag one-hot matmul, then select
-            # the chosen candidate with a fused one-hot lane reduce —
-            # the advanced-index gather on the (n_bh, T, n_cand) forward
-            # variables is a measured hot spot at beam 66
+            # joint (hyp -> (pred, cand)) selection as ONE block-diagonal
+            # one-hot matmul per utterance: the (n_bh, T, n_cand) forward
+            # variables are reshaped to (B, K*n_cand, T) and contracted
+            # with a (B, K, K*n_cand) one-hot — the advanced-index gather
+            # this replaces was a measured decode-step hot spot at beam
+            # 66 (TPU row gathers run far below HBM bandwidth)
             n_cand = new_states["r_b"].shape[-1]
-            sel = jax.nn.one_hot(
-                cand_idx, n_cand, dtype=new_states["r_b"].dtype
-            )[:, None, :]
-            r_b = jnp.sum(
-                gather_rows(new_states["r_b"], hyp_index, layout) * sel, -1
-            )
-            r_n = jnp.sum(
-                gather_rows(new_states["r_n"], hyp_index, layout) * sel, -1
-            )
+            B, K = layout
+            T = new_states["r_b"].shape[1]
+            src = hyp_index.reshape(B, K) - (
+                jnp.arange(B, dtype=hyp_index.dtype) * K
+            )[:, None]
+            joint = src * n_cand + cand_idx.reshape(B, K)
+            W = jax.nn.one_hot(
+                joint, K * n_cand, dtype=new_states["r_b"].dtype
+            )  # (B, K, K*n_cand)
+
+            def sel3(t):
+                flat = jnp.moveaxis(
+                    t.reshape(B, K, T, n_cand), 3, 2
+                ).reshape(B, K * n_cand, T)
+                out = jax.lax.dot_general(
+                    W, flat, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                return out.reshape(B * K, T)
+
+            r_b = sel3(new_states["r_b"])
+            r_n = sel3(new_states["r_n"])
             psi = jnp.sum(
-                new_states["psi"][hyp_index] * sel[:, 0, :], -1
+                new_states["psi"][hyp_index]
+                * jax.nn.one_hot(cand_idx, n_cand,
+                                 dtype=new_states["psi"].dtype), -1
             )
             state = {"r_b": r_b, "r_n": r_n, "psi_prev": psi}
         else:

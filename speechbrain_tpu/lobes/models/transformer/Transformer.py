@@ -254,7 +254,11 @@ class TransformerEncoder(nn.Module):
         layer — the decoder-only/LM serving path. Heads stay MERGED in
         the stored layout: the decode step reads the buffers with fused
         per-head views, and the ancestry beam-attention kernel requires
-        the lane dimension to be the full model width."""
+        the lane dimension to be the full model width. ``max_len`` is
+        rounded up to the kernel's 32-frame time tile so the serving
+        path never pads (a pad would COPY the multi-GB buffers every
+        decode step); the extra positions sit beyond the causal mask."""
+        max_len = -(-max_len // 32) * 32
         return [
             {
                 "self": {
@@ -422,7 +426,9 @@ class TransformerDecoder(nn.Module):
     def init_cache(self, batch_size, max_len, dtype=jnp.float32):
         """Explicit KV cache pytree for incremental decoding: one
         {"self": {"k", "v"}} buffer of (B, max_len, d_model) per layer
-        (heads merged — see TransformerEncoder.init_cache)."""
+        (heads merged, time rounded to the 32-frame kernel tile — see
+        TransformerEncoder.init_cache)."""
+        max_len = -(-max_len // 32) * 32
         return [
             {
                 "self": {

@@ -163,13 +163,16 @@ def _ancestry_attention_pallas(q, k_cache, v_cache, anc, step,
     n_t = (L + Tt - 1) // Tt
     Lp = n_t * Tt
     if Lp != L:
+        # NOTE: this pad COPIES the caches — callers on the serving path
+        # allocate tile-aligned buffers (init_cache rounds max_len up)
+        # precisely so this branch never fires per decode step
         pad = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
         k_cache = jnp.pad(k_cache, pad)
         v_cache = jnp.pad(v_cache, pad)
     # pre-tile the (tiny) ancestry table to (B, n_t, Tt, K) so each time
     # tile is a whole, alignment-clean block in (time, hyp) orientation
-    if Lp != L:
-        anc = jnp.pad(anc, [(0, 0), (0, 0), (0, Lp - L)])
+    if Lp != anc.shape[2]:
+        anc = jnp.pad(anc, [(0, 0), (0, 0), (0, Lp - anc.shape[2])])
     anc = anc.reshape(B, K, n_t, Tt).transpose(0, 2, 3, 1)
 
     step_arr = jnp.full((1,), step, jnp.int32)
